@@ -1,0 +1,70 @@
+"""Device-mesh construction and sharding specs.
+
+The reference is single-device (SURVEY.md §2.9: zero distributed code). Here
+parallelism is a first-class subsystem: one ``jax.sharding.Mesh`` with
+``('data', 'model')`` axes, batches sharded along ``data``, parameters
+replicated (or tensor-sharded along ``model`` where the layer opts in), and
+XLA emitting the gradient all-reduces over ICI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclass(frozen=True)
+class MeshSpec:
+    mesh: Mesh
+
+    @property
+    def data_size(self) -> int:
+        return self.mesh.shape[DATA_AXIS]
+
+    @property
+    def model_size(self) -> int:
+        return self.mesh.shape[MODEL_AXIS]
+
+    def batch_sharding(self) -> NamedSharding:
+        """Batch tensors: sharded on the leading (batch) dim over 'data'."""
+        return NamedSharding(self.mesh, P(DATA_AXIS))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def named(self, *axes: Optional[str]) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*axes))
+
+
+def make_mesh(
+    dp_size: int = -1,
+    tp_size: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> MeshSpec:
+    """Build a ('data', 'model') mesh.
+
+    ``dp_size=-1`` uses every device not claimed by tensor parallelism.
+    On a single chip this degenerates to a 1x1 mesh, so the same jit'd
+    train step runs unchanged from one chip to a full slice.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if tp_size <= 0:
+        tp_size = 1
+    if dp_size == -1:
+        if n % tp_size != 0:
+            raise ValueError(f"{n} devices not divisible by tp_size={tp_size}")
+        dp_size = n // tp_size
+    if dp_size * tp_size != n:
+        raise ValueError(
+            f"dp_size*tp_size = {dp_size * tp_size} != device count {n}"
+        )
+    arr = np.asarray(devices).reshape(dp_size, tp_size)
+    return MeshSpec(mesh=Mesh(arr, (DATA_AXIS, MODEL_AXIS)))

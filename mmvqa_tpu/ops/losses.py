@@ -1,0 +1,120 @@
+"""Loss functions, vectorized JAX ports matching the reference math.
+
+Each docstring cites the reference formula it reproduces; unit tests in
+``tests/test_losses.py`` pin golden values against a torch-CPU oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _log_softmax(x: jax.Array, axis: int = -1) -> jax.Array:
+    return jax.nn.log_softmax(x.astype(jnp.float32), axis=axis)
+
+
+def masked_mlm_nll(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """MLM objective: NLLLoss over log-softmaxed per-token vocab logits.
+
+    Reference semantics (roco_train.py:93 + roco_utils.py:228-236):
+    ``nn.NLLLoss()(log_softmax(logits).permute(0,2,1), target)`` with NO
+    ignore_index — unmasked positions carry label 0 and contribute
+    ``-log p(token 0)``. That quirk is intentional and preserved: the mean
+    runs over every (batch, position) cell.
+
+    logits: (B, T, V) raw scores. targets: (B, T) int labels (0 = unmasked).
+    """
+    logp = _log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)
+    return -jnp.mean(picked)
+
+
+def cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Plain mean CE over int labels (vqamed2019/train.py:169-171)."""
+    logp = _log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, targets[:, None].astype(jnp.int32), axis=-1)
+    return -jnp.mean(picked)
+
+
+def asl_single_label(
+    logits: jax.Array,
+    targets: jax.Array,
+    gamma_pos: float = 0.0,
+    gamma_neg: float = 4.0,
+    eps: float = 0.1,
+) -> jax.Array:
+    """Asymmetric single-label focal loss (models/asl_singlelabel.py:23-53).
+
+    log_preds weighted by ``(1 - xs_pos - xs_neg)^(g+ * t + g- * (1-t))``
+    where xs_pos = p*t, xs_neg = (1-p)*(1-t); label smoothing applied to the
+    one-hot targets afterwards; sum over classes, mean over batch.
+    """
+    num_classes = logits.shape[-1]
+    logp = _log_softmax(logits, axis=-1)
+    one_hot = jax.nn.one_hot(targets, num_classes, dtype=logp.dtype)
+    anti = 1.0 - one_hot
+    p = jnp.exp(logp)
+    xs_pos = p * one_hot
+    xs_neg = (1.0 - p) * anti
+    w = jnp.power(1.0 - xs_pos - xs_neg, gamma_pos * one_hot + gamma_neg * anti)
+    logp = logp * w
+    soft = one_hot * (1.0 - eps) + eps / num_classes if eps > 0 else one_hot
+    return jnp.mean(jnp.sum(-soft * logp, axis=-1))
+
+
+def label_smoothing_loss(
+    logits: jax.Array,
+    one_hot_targets: jax.Array,
+    smoothing: float = 0.1,
+) -> jax.Array:
+    """Classic smoothed CE over soft/one-hot targets (vqamed2019/utils.py:178-198).
+
+    ``(1-s) * sum(-logp * t) + s * mean(-logp)`` averaged over the batch.
+    (Train-time branch; the eval branch is plain CE — callers select.)
+    """
+    logp = _log_softmax(logits, axis=-1)
+    nll = jnp.sum(-logp * one_hot_targets, axis=-1)
+    smooth = jnp.mean(-logp, axis=-1)
+    return jnp.mean((1.0 - smoothing) * nll + smoothing * smooth)
+
+
+def smoothed_soft_target_ce(logits: jax.Array, soft_targets: jax.Array) -> jax.Array:
+    """CE against precomputed soft targets (LabelSmoothByCategory train branch,
+    vqamed2019/utils.py:1296-1300): ``mean(sum(-t * log_softmax(x), -1))``.
+
+    The per-category soft-target construction is host-side data prep
+    (``mmvqa_tpu.train.category_smoothing``); this is the device half.
+    """
+    logp = _log_softmax(logits, axis=-1)
+    return jnp.mean(jnp.sum(-soft_targets * logp, axis=-1))
+
+
+def mse_distillation(
+    pred: jax.Array, target: jax.Array, mask: Optional[jax.Array] = None
+) -> jax.Array:
+    """Distillation MSE vs teacher hidden states (roco_train.py:94-95).
+
+    The reference computes an unmasked mean over every (B, T, H) element —
+    padded positions regress to zero vectors; preserved when mask is None.
+    """
+    se = jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    if mask is None:
+        return jnp.mean(se)
+    m = mask[..., None].astype(se.dtype)
+    return jnp.sum(se * m) / jnp.maximum(jnp.sum(m) * se.shape[-1], 1.0)
+
+
+def mlm_accuracy(
+    logits: jax.Array, targets: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Masked-token accuracy (roco_utils.py:256-265): argmax over positions
+    with target > 0. Returns (num_correct, num_masked) so hosts can aggregate
+    exactly like the reference's epoch-level concat-then-mean.
+    """
+    pred = jnp.argmax(logits, axis=-1)
+    masked = targets > 0
+    correct = jnp.sum(jnp.where(masked, pred == targets, False))
+    return correct, jnp.sum(masked)
