@@ -1,0 +1,200 @@
+"""Image decode (host) + batched random augmentation (device, jit).
+
+The reference runs torchvision transforms per-sample in DataLoader workers
+(roco_train.py:100-114, vqamed2019/train.py:179-205). TPU-first split:
+
+* HOST (deterministic, cacheable): PIL decode -> RGB -> resize shorter side
+  to `size` -> center crop `size` -> uint8 (H, W, 3). This matches the
+  reference's eval transform exactly, so eval batches need no device work
+  beyond normalize.
+* DEVICE (random, batched, jit): RandomResizedCrop + RandomRotation fused
+  into ONE inverse-affine bilinear resample per image, then ColorJitter and
+  normalize((0.5,)*3, (0.5,)*3). One kernel per batch instead of per-sample
+  host loops.
+
+Documented deviations from torchvision (stochastic augmentation only, no
+effect on eval parity): rotation resamples bilinearly (torchvision default
+NEAREST), and RandomResizedCrop clamps oversize crops instead of the
+10-try-then-fallback loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# host side
+# ---------------------------------------------------------------------------
+
+def load_image(path: str, size: int = 224) -> np.ndarray:
+    """Decode -> resize shorter side -> center crop: uint8 (size, size, 3).
+
+    Matches Resize(size) + CenterCrop(size) (roco_train.py:110-114).
+    """
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    if w <= h:
+        nw, nh = size, max(size, int(round(h * size / w)))
+    else:
+        nh, nw = size, max(size, int(round(w * size / h)))
+    img = img.resize((nw, nh), Image.BILINEAR)
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img, np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# device side
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class AugmentSpec:
+    """Random-augmentation strengths.
+
+    pretrain (roco_train.py:100-108): crop 0.95-1.05, rot 5, jitter 0.05
+    fine-tune (vqamed2019/train.py:179-190): crop 0.75-1.25, rot 10, jitter 0.4
+    """
+
+    crop_scale: Tuple[float, float] = (0.95, 1.05)
+    crop_ratio: Tuple[float, float] = (0.95, 1.05)
+    rotation_deg: float = 5.0
+    brightness: float = 0.05
+    contrast: float = 0.05
+    saturation: float = 0.05
+    hue: float = 0.05
+
+
+PRETRAIN_AUG = AugmentSpec()
+FINETUNE_AUG = AugmentSpec(
+    crop_scale=(0.75, 1.25), crop_ratio=(0.75, 1.25), rotation_deg=10.0,
+    brightness=0.4, contrast=0.4, saturation=0.4, hue=0.4,
+)
+
+
+def _sample_affine(key: jax.Array, size: int, spec: AugmentSpec):
+    """Sample crop box + rotation; return (A, t): src = A @ dst + t."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    scale = jax.random.uniform(k1, (), minval=spec.crop_scale[0],
+                               maxval=spec.crop_scale[1])
+    log_r = jax.random.uniform(
+        k2, (), minval=jnp.log(spec.crop_ratio[0]),
+        maxval=jnp.log(spec.crop_ratio[1]),
+    )
+    ratio = jnp.exp(log_r)
+    area = size * size * scale
+    w = jnp.minimum(jnp.sqrt(area * ratio), size)
+    h = jnp.minimum(jnp.sqrt(area / ratio), size)
+    x0 = jax.random.uniform(k3, (), minval=0.0, maxval=size - w)
+    y0 = jax.random.uniform(k4, (), minval=0.0, maxval=size - h)
+    theta = jax.random.uniform(
+        k5, (), minval=-spec.rotation_deg, maxval=spec.rotation_deg
+    ) * (jnp.pi / 180.0)
+
+    # dst pixel (i, j) -> crop coords -> rotate about image center
+    sy = h / size
+    sx = w / size
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    # crop map: yc = y0 + i*sy, xc = x0 + j*sx
+    # rotation (about center m=size/2): src = R @ (p - m) + m
+    m = (size - 1) / 2.0
+    A = jnp.array([[c * sy, -s * sx], [s * sy, c * sx]])
+    b = jnp.array([y0, x0])
+    t = jnp.array([c * (b[0] - m) - s * (b[1] - m) + m,
+                   s * (b[0] - m) + c * (b[1] - m) + m])
+    return A, t
+
+
+def _affine_sample(img: jax.Array, A: jax.Array, t: jax.Array) -> jax.Array:
+    """Bilinear resample one (H, W, 3) image through src = A@dst + t."""
+    size = img.shape[0]
+    grid = jnp.arange(size, dtype=jnp.float32)
+    ii, jj = jnp.meshgrid(grid, grid, indexing="ij")
+    src_y = A[0, 0] * ii + A[0, 1] * jj + t[0]
+    src_x = A[1, 0] * ii + A[1, 1] * jj + t[1]
+    coords = jnp.stack([src_y, src_x])
+
+    def sample_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            ch, [coords[0], coords[1]], order=1, mode="constant", cval=0.0
+        )
+
+    return jnp.stack(
+        [sample_channel(img[..., c]) for c in range(3)], axis=-1
+    )
+
+
+def _rgb_to_gray(x: jax.Array) -> jax.Array:
+    return (
+        0.2989 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    )[..., None]
+
+
+def _color_jitter(key: jax.Array, x: jax.Array, spec: AugmentSpec) -> jax.Array:
+    """brightness/contrast/saturation/hue in torchvision's value conventions
+    (random order is approximated by a fixed b->c->s->h order)."""
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    if spec.brightness > 0:
+        f = jax.random.uniform(kb, (), minval=1 - spec.brightness,
+                               maxval=1 + spec.brightness)
+        x = jnp.clip(x * f, 0.0, 1.0)
+    if spec.contrast > 0:
+        f = jax.random.uniform(kc, (), minval=1 - spec.contrast,
+                               maxval=1 + spec.contrast)
+        mean = jnp.mean(_rgb_to_gray(x))
+        x = jnp.clip((x - mean) * f + mean, 0.0, 1.0)
+    if spec.saturation > 0:
+        f = jax.random.uniform(ks, (), minval=1 - spec.saturation,
+                               maxval=1 + spec.saturation)
+        g = _rgb_to_gray(x)
+        x = jnp.clip((x - g) * f + g, 0.0, 1.0)
+    if spec.hue > 0:
+        f = jax.random.uniform(kh, (), minval=-spec.hue, maxval=spec.hue)
+        # cheap hue rotation in YIQ space (equivalent rotation of chroma)
+        y = _rgb_to_gray(x)[..., 0]
+        i = 0.596 * x[..., 0] - 0.274 * x[..., 1] - 0.322 * x[..., 2]
+        q = 0.211 * x[..., 0] - 0.523 * x[..., 1] + 0.312 * x[..., 2]
+        ang = f * 2.0 * jnp.pi
+        ci, cq = jnp.cos(ang), jnp.sin(ang)
+        i2 = ci * i - cq * q
+        q2 = cq * i + ci * q
+        r = y + 0.956 * i2 + 0.621 * q2
+        g2 = y - 0.272 * i2 - 0.647 * q2
+        b = y - 1.106 * i2 + 1.703 * q2
+        x = jnp.clip(jnp.stack([r, g2, b], axis=-1), 0.0, 1.0)
+    return x
+
+
+@partial(jax.jit, static_argnames=("spec", "augment"))
+def process_batch(
+    images_u8: jax.Array,
+    key: jax.Array,
+    spec: AugmentSpec = PRETRAIN_AUG,
+    augment: bool = True,
+) -> jax.Array:
+    """(B, S, S, 3) uint8 -> augmented, normalized float32 (B, S, S, 3).
+
+    normalize((0.5,)*3, (0.5,)*3) -> range [-1, 1] (roco_train.py:108).
+    """
+    x = images_u8.astype(jnp.float32) / 255.0
+    if augment:
+        B = x.shape[0]
+        size = x.shape[1]
+        keys = jax.random.split(key, B * 2).reshape(B, 2, 2)
+
+        def per_image(img, ks):
+            A, tvec = _sample_affine(ks[0], size, spec)
+            img = _affine_sample(img, A, tvec)
+            return _color_jitter(ks[1], img, spec)
+
+        x = jax.vmap(per_image)(x, keys)
+    return (x - 0.5) / 0.5

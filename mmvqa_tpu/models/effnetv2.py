@@ -1,0 +1,159 @@
+"""EfficientNetV2-M trunk with per-stage feature taps, in Flax.
+
+Replaces the reference's timm ``tf_efficientnetv2_m(features_only=True)``
+(image_encoding.py:26,100-115). The architecture follows the EfficientNetV2
+paper / timm's v2_m definition:
+
+  stem: conv3x3 s2 -> 24
+  stage0: FusedMBConv  x3  k3 s1 e1 -> 24
+  stage1: FusedMBConv  x5  k3 s2 e4 -> 48
+  stage2: FusedMBConv  x5  k3 s2 e4 -> 80
+  stage3: MBConv(SE)   x7  k3 s2 e4 -> 160
+  stage4: MBConv(SE)   x14 k3 s1 e6 -> 176
+  stage5: MBConv(SE)   x18 k3 s2 e6 -> 304
+  stage6: MBConv(SE)   x5  k3 s1 e6 -> 512
+
+``features_only`` 5-tap = stages (0,1,2,4,6): channels [24,48,80,176,512]
+(models_dict, image_encoding.py:15); the 7-token variant taps all seven
+stages: [24,48,80,160,176,304,512] (image_encoding.py:18). TF-style SAME
+padding and BN eps 1e-3 match the tf_ timm variant so pretrained weights can
+be imported when supplied.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# (block_type, repeats, kernel, stride, expand, out_ch, se_ratio)
+V2_M_ARCH = (
+    ("fused", 3, 3, 1, 1, 24, 0.0),
+    ("fused", 5, 3, 2, 4, 48, 0.0),
+    ("fused", 5, 3, 2, 4, 80, 0.0),
+    ("mb", 7, 3, 2, 4, 160, 0.25),
+    ("mb", 14, 3, 1, 6, 176, 0.25),
+    ("mb", 18, 3, 2, 6, 304, 0.25),
+    ("mb", 5, 3, 1, 6, 512, 0.25),
+)
+V2_M_STEM = 24
+FIVE_TAP_STAGES = (0, 1, 2, 4, 6)
+
+
+def _bn(train: bool, dtype, name: str) -> nn.BatchNorm:
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-3,
+        dtype=dtype, name=name,
+    )
+
+
+class SqueezeExcite(nn.Module):
+    reduced_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(self.reduced_ch, (1, 1), dtype=self.dtype, name="reduce")(s)
+        s = nn.silu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype, name="expand")(s)
+        return x * nn.sigmoid(s)
+
+
+class MBConv(nn.Module):
+    out_ch: int
+    kernel: int
+    stride: int
+    expand: int
+    se_ratio: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        mid = in_ch * self.expand
+        h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="pw_exp")(x)
+        h = nn.silu(_bn(train, self.dtype, "bn1")(h))
+        h = nn.Conv(
+            mid, (self.kernel, self.kernel), strides=(self.stride,) * 2,
+            padding="SAME", feature_group_count=mid, use_bias=False,
+            dtype=self.dtype, name="dw",
+        )(h)
+        h = nn.silu(_bn(train, self.dtype, "bn2")(h))
+        if self.se_ratio > 0:
+            # timm reduces relative to the block INPUT channels
+            h = SqueezeExcite(
+                max(1, int(in_ch * self.se_ratio)), dtype=self.dtype, name="se"
+            )(h)
+        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="pw_proj")(h)
+        h = _bn(train, self.dtype, "bn3")(h)
+        if self.stride == 1 and in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+class FusedMBConv(nn.Module):
+    out_ch: int
+    kernel: int
+    stride: int
+    expand: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        mid = in_ch * self.expand
+        if self.expand == 1:
+            # single conv3x3 -> bn -> silu (timm's FusedMBConv e1 form)
+            h = nn.Conv(
+                self.out_ch, (self.kernel,) * 2, strides=(self.stride,) * 2,
+                padding="SAME", use_bias=False, dtype=self.dtype, name="conv",
+            )(x)
+            h = nn.silu(_bn(train, self.dtype, "bn1")(h))
+        else:
+            h = nn.Conv(
+                mid, (self.kernel,) * 2, strides=(self.stride,) * 2,
+                padding="SAME", use_bias=False, dtype=self.dtype, name="conv_exp",
+            )(x)
+            h = nn.silu(_bn(train, self.dtype, "bn1")(h))
+            h = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="pw_proj")(h)
+            h = _bn(train, self.dtype, "bn2")(h)
+        if self.stride == 1 and in_ch == self.out_ch:
+            h = h + x
+        return h
+
+
+class EffNetV2Features(nn.Module):
+    """Run the trunk once; return all 7 stage outputs (NHWC)."""
+
+    arch: Sequence = V2_M_ARCH
+    stem_ch: int = V2_M_STEM
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False
+    ) -> Tuple[jax.Array, ...]:
+        h = nn.Conv(
+            self.stem_ch, (3, 3), strides=(2, 2), padding="SAME",
+            use_bias=False, dtype=self.dtype, name="stem_conv",
+        )(x)
+        h = nn.silu(_bn(train, self.dtype, "stem_bn")(h))
+        taps = []
+        for si, (btype, reps, k, s, e, c, se) in enumerate(self.arch):
+            for bi in range(reps):
+                stride = s if bi == 0 else 1
+                name = f"stage{si}_block{bi}"
+                if btype == "fused":
+                    h = FusedMBConv(c, k, stride, e, dtype=self.dtype,
+                                    name=name)(h, train)
+                else:
+                    h = MBConv(c, k, stride, e, se, dtype=self.dtype,
+                               name=name)(h, train)
+            taps.append(h)
+        return tuple(taps)

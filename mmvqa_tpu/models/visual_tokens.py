@@ -1,0 +1,85 @@
+"""Multi-scale visual tokens: per-stage 1x1 conv -> activation -> GAP.
+
+Re-design of the reference's Transfer family (image_encoding.py:43-226).
+The CNN trunk runs ONCE (vs the reference's per-tap prefix re-execution) and
+each tapped feature map is projected to ``hidden_size`` with a bias-free 1x1
+conv, passed through SERF (or ReLU with --use_relu), and globally
+average-pooled into one "visual token" vector.
+
+Token order is preserved per encoder:
+* resnet152 @5: deepest-first (2048, 1024, 512, 256, 64ch) —
+  ResNetTransfer.forward returns (v_2..v_5, v_7) (image_encoding.py:71-87);
+* tf_efficientnetv2_m @5: shallow-first (24, 48, 80, 176, 512ch) —
+  Timm_EFfNetV2.forward (image_encoding.py:100-115);
+* tf_efficientnetv2_m @7: shallow-first over all 7 stages, always SERF
+  (image_encoding.py:185-219). DEVIATION: the reference's 7-token forward
+  returns the SUM of the seven tokens (a bug — ``viz_0 + ... + viz_6`` at
+  image_encoding.py:219, which then broadcasts scalars into the fusion
+  loop); here the seven tokens are returned properly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mmvqa_tpu.models.effnetv2 import EffNetV2Features, FIVE_TAP_STAGES
+from mmvqa_tpu.models.resnet import ResNetFeatures
+from mmvqa_tpu.ops.activations import serf
+
+
+class VisualTokenizer(nn.Module):
+    cnn_encoder: str = "resnet152"
+    num_vis: int = 5
+    hidden_size: int = 768
+    use_relu: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def _token(self, feat: jax.Array, idx: int, always_serf: bool = False):
+        proj = nn.Conv(
+            self.hidden_size, (1, 1), use_bias=False, dtype=self.dtype,
+            name=f"token_conv_{idx}",
+        )(feat)
+        act = serf if (always_serf or not self.use_relu) else nn.relu
+        pooled = jnp.mean(act(proj), axis=(1, 2))  # GAP after activation
+        return pooled
+
+    @nn.compact
+    def __call__(
+        self, img: jax.Array, train: bool = False
+    ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+        """img: (B, H, W, 3) NHWC. Returns (tokens, stage_features).
+
+        ``stage_features`` exposes the raw tapped maps so Grad-CAM can take
+        gradients w.r.t. the deepest map without forward hooks
+        (image_encoding.py:109-128 equivalent, done functionally).
+        """
+        if "resnet" in self.cnn_encoder:
+            if self.num_vis != 5:
+                raise ValueError("resnet152 supports num_vis=5 only")
+            stem, c256, c512, c1024, c2048 = ResNetFeatures(
+                dtype=self.dtype, name="trunk"
+            )(img, train)
+            feats = (c2048, c1024, c512, c256, stem)  # deepest-first
+            tokens = tuple(self._token(f, i) for i, f in enumerate(feats))
+            return tokens, feats
+        elif "efficientnetv2" in self.cnn_encoder:
+            all_stages = EffNetV2Features(dtype=self.dtype, name="trunk")(
+                img, train
+            )
+            if self.num_vis == 5:
+                feats = tuple(all_stages[i] for i in FIVE_TAP_STAGES)
+                tokens = tuple(self._token(f, i) for i, f in enumerate(feats))
+            elif self.num_vis == 7:
+                feats = all_stages
+                tokens = tuple(
+                    self._token(f, i, always_serf=True)
+                    for i, f in enumerate(feats)
+                )
+            else:
+                raise ValueError("efficientnetv2 supports num_vis in {5, 7}")
+            return tokens, feats
+        raise NotImplementedError(self.cnn_encoder)

