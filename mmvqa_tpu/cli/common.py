@@ -1,0 +1,195 @@
+"""Shared CLI plumbing: reference-compatible argparse surfaces -> Config.
+
+Flag names, defaults, and semantics mirror the four reference drivers
+(pretrain/roco_train.py:21-61, pretrain/roco_supcon_train.py:25-74,
+vqamed2019/train.py:30-81, vqamed2019/eval.py:25-68) so launch commands port
+over unchanged. TPU-native flags (--dp_size/--tp_size/--vocab_file/...) are
+additive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+from typing import Optional
+
+import numpy as np
+
+from mmvqa_tpu.core.config import Config
+
+
+def add_tpu_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--vocab_file", type=str, default="",
+                   help="WordPiece vocab.txt (default: search data_dir)")
+    p.add_argument("--dp_size", type=int, default=-1,
+                   help="data-parallel mesh size (-1 = all devices)")
+    p.add_argument("--tp_size", type=int, default=1,
+                   help="tensor-parallel mesh size")
+    p.add_argument("--cache_images", action="store_true", default=False,
+                   help="cache decoded images in RAM")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="jax.profiler trace output dir")
+    p.add_argument("--debug_nans", action="store_true", default=False)
+    p.add_argument("--use_sim_mask", action="store_true", default=False,
+                   help="actually pass the similarity mask to SupConLoss "
+                        "(the reference computes but drops it)")
+
+
+def pretrain_parser(supcon: bool = False) -> argparse.ArgumentParser:
+    """roco_train.py:21-61 / roco_supcon_train.py:25-74 flag surface."""
+    p = argparse.ArgumentParser(
+        description="Pretrain on ROCO with MLM"
+        + (" + contrastive" if supcon else "")
+    )
+    p.add_argument("-r", "--run_name", type=str, required=True)
+    p.add_argument("--data_dir", type=str, default="roco")
+    p.add_argument("--save_dir", type=str, default="MMBERT/pretrain/save")
+    p.add_argument("--mlm_prob", type=float, required=True)
+    p.add_argument("--mixed_precision", action="store_true", default=False)
+    p.add_argument("--resume", action="store_true", default=False)
+    if supcon:
+        p.add_argument("--resume_dir", type=str,
+                       default="ImageClef-2019-VQA-Med/mmbert/MLM/model.pt")
+        p.add_argument("--no_recorder", action="store_true", default=False)
+        p.add_argument("--task", type=str, default="MLM", choices=["MLM"])
+        p.add_argument("--supcon", action="store_false", default=True)
+        p.add_argument("--con_task", type=str, default="supcon",
+                       choices=["supcon", "simclr"], required=True)
+        p.add_argument("--similarity", type=str, default="jaccard_similarity",
+                       choices=["jaccard", "cosine", "sentence_transformers",
+                                "bert_score"], required=True)
+        p.add_argument("--bert_score", type=str, default="bert",
+                       choices=["bert", "scibert"])
+    else:
+        p.add_argument("--task", type=str, default="MLM",
+                       choices=["MLM", "distillation"])
+    p.add_argument("--clinicalbert", type=str,
+                   default="emilyalsentzer/Bio_ClinicalBERT")
+    p.add_argument("--max_token_length", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--patience", type=int, default=5)
+    p.add_argument("--factor", type=float, default=0.1)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--train_pct", type=float, default=1.0)
+    p.add_argument("--valid_pct", type=float, default=1.0)
+    p.add_argument("--test_pct", type=float, default=1.0)
+    p.add_argument("--max_position_embeddings", type=int, default=75)
+    p.add_argument("--n_layers", type=int, default=4)
+    p.add_argument("--heads", type=int, default=12)
+    p.add_argument("--type_vocab_size", type=int, default=2)
+    p.add_argument("--vocab_size", type=int, default=30522)
+    p.add_argument("--hidden_size", type=int, default=768)
+    p.add_argument("--hidden_dropout_prob", type=float, default=0.3)
+    p.add_argument("--val_loss_resume", type=float, default=np.inf)
+    p.add_argument("--dataset", type=str, default="roco")
+    p.add_argument("--cnn_encoder", type=str, default="resnet152")
+    p.add_argument("--transformer_model", type=str, default="transformer",
+                   choices=["transformer", "realformer", "feedback-transformer"])
+    p.add_argument("--num_vis", type=int, default=5)
+    p.add_argument("--use_relu", action="store_true", default=False)
+    add_tpu_flags(p)
+    return p
+
+
+def vqa_parser(eval_only: bool = False) -> argparse.ArgumentParser:
+    """vqamed2019/train.py:30-81 / eval.py:25-68 flag surface."""
+    p = argparse.ArgumentParser(
+        description="Evaluate" if eval_only else "Finetune on ImageClef 2019"
+    )
+    p.add_argument("--run_name", type=str, required=True)
+    p.add_argument("--data_dir", type=str, default="ImageClef-2019-VQA-Med")
+    p.add_argument("--model_dir", type=str,
+                   default="MMBERT/pretrain/val_loss_3.pt")
+    if not eval_only:
+        p.add_argument("--resume_dir", type=str,
+                       default="ImageClef-2019-VQA-Med/mmbert/MLM/model.pt")
+    p.add_argument("--save_dir", type=str, default="ImageClef-2019-VQA-Med/mmbert")
+    p.add_argument("--category", type=str, default=None)
+    p.add_argument("--use_pretrained", action="store_true", default=False)
+    if not eval_only:
+        p.add_argument("--resume_training", action="store_true", default=False)
+    p.add_argument("--mixed_precision", action="store_true", default=False)
+    p.add_argument("--clip", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--train_pct", type=float, default=1.0)
+    p.add_argument("--valid_pct", type=float, default=1.0)
+    p.add_argument("--test_pct", type=float, default=1.0)
+    p.add_argument("--max_position_embeddings", type=int, default=28)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--factor", type=float, default=0.1)
+    p.add_argument("--patience", type=int, default=10)
+    if not eval_only:
+        p.add_argument("--counter", type=int, default=20)
+    p.add_argument("--hidden_dropout_prob", type=float, default=0.3)
+    p.add_argument("--smoothing", type=float, default=None)
+    p.add_argument("--image_size", type=int, default=224)
+    # reference default 312 conflicts with its own 768-wide BERT embeddings
+    # (train.py:62); kept for CLI parity
+    p.add_argument("--hidden_size", type=int, default=312)
+    p.add_argument("--vocab_size", type=int, default=30522)
+    p.add_argument("--type_vocab_size", type=int, default=2)
+    p.add_argument("--heads", type=int, default=12)
+    p.add_argument("--n_layers", type=int, default=4)
+    p.add_argument("--num_vis", type=int, required=True)
+    if not eval_only:
+        p.add_argument("--wandb", action="store_false", default=True)
+        p.add_argument("--save_model_epoch", type=int, default=4)
+    p.add_argument("--task", type=str, default="MLM",
+                   choices=["MLM", "distillation"])
+    p.add_argument("--clinicalbert", type=str,
+                   default="emilyalsentzer/Bio_ClinicalBERT")
+    p.add_argument("--dataset", type=str, default="VQA-Med")
+    p.add_argument("--cnn_encoder", type=str, default="resnet152")
+    p.add_argument("--use_relu", action="store_true", default=False)
+    p.add_argument("--transformer_model", type=str, default="transformer",
+                   choices=["transformer", "realformer", "feedback-transformer"])
+    if not eval_only:
+        p.add_argument("--loss", type=str, default="CrossEntropyLoss",
+                       choices=["CrossEntropyLoss", "ASLSingleLabel"])
+    add_tpu_flags(p)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    fields = {f.name for f in Config.__dataclass_fields__.values()}
+    kw = {k: v for k, v in vars(args).items() if k in fields and v is not None}
+    if getattr(args, "val_loss_resume", None) is not None:
+        kw["val_loss_resume"] = float(args.val_loss_resume)
+    cfg = Config(**kw)
+    if getattr(args, "smoothing", None) is not None:
+        cfg = cfg.replace(smoothing=args.smoothing)
+    if getattr(args, "category", None) is not None:
+        cfg = cfg.replace(category=args.category)
+    return cfg
+
+
+def setup_runtime(cfg: Config):
+    """Mesh + debug switches + dtype policy. Returns (mesh_spec, dtype)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmvqa_tpu.core.mesh import make_mesh
+
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    mesh_spec = make_mesh(cfg.dp_size, cfg.tp_size)
+    dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+    return mesh_spec, dtype
+
+
+def load_tokenizer(cfg: Config):
+    from mmvqa_tpu.data.tokenizer import WordPieceTokenizer
+
+    tok = WordPieceTokenizer.find_and_load(cfg.data_dir, cfg.vocab_file)
+    if tok.vocab_size != cfg.vocab_size:
+        print(
+            f"[mmvqa] vocab.txt has {tok.vocab_size} entries; overriding "
+            f"--vocab_size {cfg.vocab_size}"
+        )
+        cfg = cfg.replace(vocab_size=tok.vocab_size)
+    return tok, cfg

@@ -101,6 +101,7 @@ class Config:
     dp_size: int = -1            # data-parallel mesh size (-1 = all devices)
     tp_size: int = 1             # tensor-parallel mesh size
     host_augment: bool = False   # force host-side augmentation (debug)
+    tiny_cnn: bool = False       # 1-block-per-stage CNN trunks (tests/dryruns)
     donate: bool = True          # donate train-state buffers to the jit step
     profile_dir: str = ""        # jax.profiler trace output directory
     debug_nans: bool = False     # jax_debug_nans (SURVEY.md §5.2)

@@ -7,15 +7,18 @@ The reference runs torchvision transforms per-sample in DataLoader workers
   to `size` -> center crop `size` -> uint8 (H, W, 3). This matches the
   reference's eval transform exactly, so eval batches need no device work
   beyond normalize.
-* DEVICE (random, batched, jit): RandomResizedCrop + RandomRotation fused
-  into ONE inverse-affine bilinear resample per image, then ColorJitter and
-  normalize((0.5,)*3, (0.5,)*3). One kernel per batch instead of per-sample
-  host loops.
+* HOST (random, per-sample, in the loader threads): RandomRotation — PIL
+  rotate, like torchvision's (rotating 224x224 uint8 on the host costs ~100us
+  and keeps the device path gather-free).
+* DEVICE (random, batched, jit): RandomResizedCrop expressed as TWO batched
+  interpolation MATMULS (separable bilinear resampling rides the MXU — a
+  per-pixel gather implementation measured ~1s/batch-128 on v5e; the matmul
+  form is ~1ms), then ColorJitter and normalize((0.5,)*3, (0.5,)*3).
 
 Documented deviations from torchvision (stochastic augmentation only, no
-effect on eval parity): rotation resamples bilinearly (torchvision default
-NEAREST), and RandomResizedCrop clamps oversize crops instead of the
-10-try-then-fallback loop.
+effect on eval parity): RandomResizedCrop clamps oversize crops instead of
+the 10-try-then-fallback loop, and rotation order is decode->rotate->crop
+rather than crop->rotate.
 """
 
 from __future__ import annotations
@@ -81,9 +84,24 @@ FINETUNE_AUG = AugmentSpec(
 )
 
 
-def _sample_affine(key: jax.Array, size: int, spec: AugmentSpec):
-    """Sample crop box + rotation; return (A, t): src = A @ dst + t."""
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+def random_rotate_host(
+    img_u8: np.ndarray, deg: float, rng
+) -> np.ndarray:
+    """Host-side RandomRotation (PIL, NEAREST like torchvision's default)."""
+    if deg <= 0:
+        return img_u8
+    from PIL import Image
+
+    angle = rng.uniform(-deg, deg)
+    return np.asarray(
+        Image.fromarray(img_u8).rotate(angle, resample=Image.NEAREST),
+        np.uint8,
+    )
+
+
+def _sample_crop(key: jax.Array, size: int, spec: AugmentSpec):
+    """Sample a RandomResizedCrop box; returns (y0, x0, h, w) floats."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     scale = jax.random.uniform(k1, (), minval=spec.crop_scale[0],
                                maxval=spec.crop_scale[1])
     log_r = jax.random.uniform(
@@ -96,41 +114,30 @@ def _sample_affine(key: jax.Array, size: int, spec: AugmentSpec):
     h = jnp.minimum(jnp.sqrt(area / ratio), size)
     x0 = jax.random.uniform(k3, (), minval=0.0, maxval=size - w)
     y0 = jax.random.uniform(k4, (), minval=0.0, maxval=size - h)
-    theta = jax.random.uniform(
-        k5, (), minval=-spec.rotation_deg, maxval=spec.rotation_deg
-    ) * (jnp.pi / 180.0)
-
-    # dst pixel (i, j) -> crop coords -> rotate about image center
-    sy = h / size
-    sx = w / size
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    # crop map: yc = y0 + i*sy, xc = x0 + j*sx
-    # rotation (about center m=size/2): src = R @ (p - m) + m
-    m = (size - 1) / 2.0
-    A = jnp.array([[c * sy, -s * sx], [s * sy, c * sx]])
-    b = jnp.array([y0, x0])
-    t = jnp.array([c * (b[0] - m) - s * (b[1] - m) + m,
-                   s * (b[0] - m) + c * (b[1] - m) + m])
-    return A, t
+    return y0, x0, h, w
 
 
-def _affine_sample(img: jax.Array, A: jax.Array, t: jax.Array) -> jax.Array:
-    """Bilinear resample one (H, W, 3) image through src = A@dst + t."""
+def _interp_matrix(start: jax.Array, extent: jax.Array, size: int) -> jax.Array:
+    """(out size, in size) bilinear sampling matrix for a 1D crop+resize:
+    output u samples source coordinate start + (u + 0.5) * extent/size - 0.5.
+    Hat-function weights; rows sum to 1. Rides the MXU as a matmul."""
+    u = jnp.arange(size, dtype=jnp.float32)
+    src = start + (u + 0.5) * (extent / size) - 0.5
+    y = jnp.arange(size, dtype=jnp.float32)
+    d = jnp.abs(src[:, None] - y[None, :])
+    w = jnp.maximum(0.0, 1.0 - d)
+    # edge clamp: renormalize rows (handles src outside [0, size-1])
+    return w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-6)
+
+
+def _crop_resize(img: jax.Array, key: jax.Array, spec: AugmentSpec):
+    """Separable bilinear crop+resize via two matmuls: (S,S,3) -> (S,S,3)."""
     size = img.shape[0]
-    grid = jnp.arange(size, dtype=jnp.float32)
-    ii, jj = jnp.meshgrid(grid, grid, indexing="ij")
-    src_y = A[0, 0] * ii + A[0, 1] * jj + t[0]
-    src_x = A[1, 0] * ii + A[1, 1] * jj + t[1]
-    coords = jnp.stack([src_y, src_x])
-
-    def sample_channel(ch):
-        return jax.scipy.ndimage.map_coordinates(
-            ch, [coords[0], coords[1]], order=1, mode="constant", cval=0.0
-        )
-
-    return jnp.stack(
-        [sample_channel(img[..., c]) for c in range(3)], axis=-1
-    )
+    y0, x0, h, w = _sample_crop(key, size, spec)
+    wy = _interp_matrix(y0, h, size)  # (S, S)
+    wx = _interp_matrix(x0, w, size)  # (S, S)
+    tmp = jnp.einsum("oy,yxc->oxc", wy, img)
+    return jnp.einsum("ox,yxc->yoc", wx, tmp)
 
 
 def _rgb_to_gray(x: jax.Array) -> jax.Array:
@@ -188,12 +195,10 @@ def process_batch(
     x = images_u8.astype(jnp.float32) / 255.0
     if augment:
         B = x.shape[0]
-        size = x.shape[1]
         keys = jax.random.split(key, B * 2).reshape(B, 2, 2)
 
         def per_image(img, ks):
-            A, tvec = _sample_affine(ks[0], size, spec)
-            img = _affine_sample(img, A, tvec)
+            img = _crop_resize(img, ks[0], spec)
             return _color_jitter(ks[1], img, spec)
 
         x = jax.vmap(per_image)(x, keys)

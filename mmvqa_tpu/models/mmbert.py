@@ -53,6 +53,7 @@ class MMBert(nn.Module):
             num_vis=cfg.num_vis,
             hidden_size=cfg.hidden_size,
             use_relu=cfg.use_relu,
+            tiny=cfg.tiny_cnn,
             dtype=self.dtype,
         )
         if "feedback-transformer" in cfg.transformer_model:
@@ -106,12 +107,13 @@ class MMBert(nn.Module):
         input_mask: jax.Array,
         deterministic: bool = True,
         train_cnn: bool = False,
+        perturb: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Tuple[jax.Array, ...]]:
         """prepare_input + encoder (mmbert.py:60-67, 90-108).
 
         Returns (hidden states, CNN stage features for Grad-CAM).
         """
-        tokens, feats = self.trans(img, train=train_cnn)
+        tokens, feats = self.trans(img, train=train_cnn, perturb=perturb)
         h = self.bert_embedding(input_ids, segment_ids, deterministic)
         vis = jnp.stack(
             [t.astype(h.dtype) for t in tokens], axis=1
@@ -158,8 +160,14 @@ class MMBert(nn.Module):
         input_ids: jax.Array,
         segment_ids: jax.Array,
         input_mask: jax.Array,
+        perturb: Optional[jax.Array] = None,
     ):
-        """VQA logits plus CNN stage features (Grad-CAM support)."""
-        h, feats = self.encode(img, input_ids, segment_ids, input_mask, True)
+        """VQA logits plus CNN stage features (Grad-CAM support): ``perturb``
+        (a zeros array shaped like the deepest tapped map) is added to that
+        map, so grad w.r.t. it gives d logit / d activation — the functional
+        equivalent of the reference's backward hooks (grad_cam2.py:139-152)."""
+        h, feats = self.encode(
+            img, input_ids, segment_ids, input_mask, True, perturb=perturb
+        )
         pooled = serf(self.fc1(mean_pooling(h, input_mask)))
         return self._classifier(pooled), feats

@@ -31,11 +31,26 @@ from mmvqa_tpu.models.resnet import ResNetFeatures
 from mmvqa_tpu.ops.activations import serf
 
 
+TINY_EFFNET_ARCH = tuple(
+    (b, 1, k, s, e, c, se)
+    for (b, _, k, s, e, c, se) in (
+        ("fused", 3, 3, 1, 1, 24, 0.0),
+        ("fused", 5, 3, 2, 4, 48, 0.0),
+        ("fused", 5, 3, 2, 4, 80, 0.0),
+        ("mb", 7, 3, 2, 4, 160, 0.25),
+        ("mb", 14, 3, 1, 6, 176, 0.25),
+        ("mb", 18, 3, 2, 6, 304, 0.25),
+        ("mb", 5, 3, 1, 6, 512, 0.25),
+    )
+)
+
+
 class VisualTokenizer(nn.Module):
     cnn_encoder: str = "resnet152"
     num_vis: int = 5
     hidden_size: int = 768
     use_relu: bool = False
+    tiny: bool = False  # 1-block-per-stage trunks for tests/dryruns
     dtype: jnp.dtype = jnp.float32
 
     def _token(self, feat: jax.Array, idx: int, always_serf: bool = False):
@@ -49,32 +64,42 @@ class VisualTokenizer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, img: jax.Array, train: bool = False
+        self, img: jax.Array, train: bool = False, perturb=None
     ) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
         """img: (B, H, W, 3) NHWC. Returns (tokens, stage_features).
 
         ``stage_features`` exposes the raw tapped maps so Grad-CAM can take
         gradients w.r.t. the deepest map without forward hooks
-        (image_encoding.py:109-128 equivalent, done functionally).
+        (image_encoding.py:109-128 equivalent, done functionally):
+        ``perturb`` is a zero array ADDED to the deepest tapped feature —
+        differentiating the logit w.r.t. it yields exactly d logit / d map.
         """
         if "resnet" in self.cnn_encoder:
             if self.num_vis != 5:
                 raise ValueError("resnet152 supports num_vis=5 only")
+            stages = (1, 1, 1, 1) if self.tiny else (3, 8, 36, 3)
             stem, c256, c512, c1024, c2048 = ResNetFeatures(
-                dtype=self.dtype, name="trunk"
+                stage_sizes=stages, dtype=self.dtype, name="trunk"
             )(img, train)
             feats = (c2048, c1024, c512, c256, stem)  # deepest-first
+            if perturb is not None:
+                feats = (feats[0] + perturb,) + feats[1:]
             tokens = tuple(self._token(f, i) for i, f in enumerate(feats))
             return tokens, feats
         elif "efficientnetv2" in self.cnn_encoder:
-            all_stages = EffNetV2Features(dtype=self.dtype, name="trunk")(
+            kw = {"arch": TINY_EFFNET_ARCH} if self.tiny else {}
+            all_stages = EffNetV2Features(dtype=self.dtype, name="trunk", **kw)(
                 img, train
             )
             if self.num_vis == 5:
                 feats = tuple(all_stages[i] for i in FIVE_TAP_STAGES)
+                if perturb is not None:
+                    feats = feats[:-1] + (feats[-1] + perturb,)
                 tokens = tuple(self._token(f, i) for i, f in enumerate(feats))
             elif self.num_vis == 7:
                 feats = all_stages
+                if perturb is not None:
+                    feats = feats[:-1] + (feats[-1] + perturb,)
                 tokens = tuple(
                     self._token(f, i, always_serf=True)
                     for i, f in enumerate(feats)

@@ -28,13 +28,14 @@ NEG_BIG = 10000.0
 
 
 def _pick_impl(impl: str) -> str:
+    """'auto' currently resolves to the XLA path everywhere: at the model's
+    tiny sequence lengths (75/28) XLA's fused attention beats the Pallas
+    kernel in train fwd+bwd (7.8 vs 12.2 ms/step at B=128 on v5e). The
+    Pallas kernel stays available via impl='pallas' and is numerics-tested;
+    revisit if sequence lengths grow (blockwise CP, SURVEY.md §5.7)."""
     if impl != "auto":
         return impl
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:
-        platform = "cpu"
-    return "pallas" if platform == "tpu" else "xla"
+    return "xla"
 
 
 def vanilla_attention(
@@ -87,8 +88,16 @@ def realformer_attention(
 
     new_prev = q k^T / sqrt(E) [+ prev] - 10000*(1-mask_q)  (realformer.py:35-42)
     att = softmax(new_prev, axis=keys); ctx = att @ v        (realformer.py:43-44)
+
+    impl='pallas' uses the fused single-program kernel with a fused-backward
+    custom VJP (mmvqa_tpu.ops.pallas_attention); 'xla' the jnp chain below;
+    'auto' picks pallas on TPU.
     """
     impl = _pick_impl(impl)
+    if impl == "pallas":
+        from mmvqa_tpu.ops.pallas_attention import realformer_attention_pallas
+
+        return realformer_attention_pallas(q, k, v, prev, query_mask)
     e = q.shape[-1]
     scores = jnp.einsum(
         "bihe,bjhe->bijh", q, v_cast(k, q)

@@ -26,10 +26,18 @@ def masked_mlm_nll(logits: jax.Array, targets: jax.Array) -> jax.Array:
     runs over every (batch, position) cell.
 
     logits: (B, T, V) raw scores. targets: (B, T) int labels (0 = unmasked).
+
+    Computed as mean(logsumexp) - mean(picked_logit): identical math to
+    log_softmax + gather but never materializes the (B, T, V) fp32
+    log-probability tensor (1.2 GB at B=128) — the logsumexp reduction
+    streams the logits once.
     """
-    logp = _log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)
-    return -jnp.mean(picked)
+    logits32 = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits32, axis=-1)
+    picked = jnp.take_along_axis(
+        logits32, targets[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    return jnp.mean(lse - picked)
 
 
 def cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:

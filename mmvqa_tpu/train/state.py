@@ -1,0 +1,81 @@
+"""Train state and optimizer construction.
+
+Optimizer matches the reference: Adam(lr) with torch defaults (b1=0.9,
+b2=0.999, eps=1e-8) (roco_train.py:90, train.py:160), with optional global
+grad-norm clipping at 1.0 (utils.py:655-666). The learning rate lives in
+``opt_state.hyperparams`` (optax.inject_hyperparams) so the host-side
+ReduceLROnPlateau can change it WITHOUT recompiling the jitted step.
+
+bf16 note: ``mixed_precision`` runs matmuls in bf16 (native on the MXU) with
+fp32 params/optimizer state — no loss-scaling GradScaler is needed on TPU;
+the CLI flag is accepted for compatibility and maps to this policy.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params
+        )
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+        )
+
+    @property
+    def lr(self) -> float:
+        return float(self.opt_state.hyperparams["learning_rate"])
+
+    def with_lr(self, lr: float) -> "TrainState":
+        hp = dict(self.opt_state.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return self.replace(
+            opt_state=self.opt_state._replace(hyperparams=hp)
+        )
+
+
+def make_optimizer(lr: float, clip: bool = False) -> optax.GradientTransformation:
+    @optax.inject_hyperparams
+    def tx(learning_rate):
+        chain = []
+        if clip:
+            chain.append(optax.clip_by_global_norm(1.0))
+        chain.append(
+            optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+        )
+        return optax.chain(*chain)
+
+    return tx(learning_rate=lr)
+
+
+def create_train_state(
+    variables: FrozenDict, lr: float, clip: bool = False
+) -> TrainState:
+    tx = make_optimizer(lr, clip)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )

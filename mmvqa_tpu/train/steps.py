@@ -1,0 +1,308 @@
+"""jit-compiled train/eval steps for every objective.
+
+Each factory closes over the model and config and returns jitted functions
+with STATIC shapes: device-side augmentation, forward, loss, grad, Adam
+update and metric counters all fuse into one XLA program per step. Batches
+carry a ``weights`` vector (1 real / 0 padding) so the final partial batch
+of an epoch reuses the same program (mmvqa_tpu.data.loader).
+
+Parallelism: inputs are placed with a batch-sharded NamedSharding and params
+replicated (or TP-sharded via mmvqa_tpu.parallel) — jit + the mesh handle DP
+gradient all-reduce and, for SupCon, the global-batch contrastive
+denominator automatically (the jitted program sees the global batch).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmvqa_tpu.core.config import Config
+from mmvqa_tpu.data.images import (
+    FINETUNE_AUG,
+    PRETRAIN_AUG,
+    AugmentSpec,
+    process_batch,
+)
+from mmvqa_tpu.ops.losses import (
+    asl_single_label,
+    cross_entropy,
+    masked_mlm_nll,
+    mse_distillation,
+    smoothed_soft_target_ce,
+)
+from mmvqa_tpu.ops.supcon import split_two_views, supcon_loss
+from mmvqa_tpu.train.state import TrainState
+
+
+def _weighted_token_nll(logits, targets, w):
+    """masked_mlm_nll with per-sample weights (padding-batch exact).
+    logsumexp form: never materializes the (B, T, V) log-prob tensor."""
+    logits32 = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits32, axis=-1)
+    picked = jnp.take_along_axis(
+        logits32, targets[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    per_sample = jnp.mean(lse - picked, axis=-1)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _weighted_mean(per_sample, w):
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _apply(model, state: TrainState, img, ids, seg, mask, rng, train: bool):
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if train:
+        out, mut = model.apply(
+            variables, img, ids, seg, mask,
+            deterministic=False, train_cnn=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"],
+        )
+        return out, mut["batch_stats"]
+    out = model.apply(variables, img, ids, seg, mask, deterministic=True)
+    return out, state.batch_stats
+
+
+def _mlm_metrics(logits, labels, w):
+    pred = jnp.argmax(logits, axis=-1)
+    masked = (labels > 0) & (w[:, None] > 0)
+    correct = jnp.sum(jnp.where(masked, pred == labels, False))
+    return correct, jnp.sum(masked)
+
+
+# ---------------------------------------------------------------------------
+# MLM pretraining (roco_train.py / roco_utils.py:207-372)
+# ---------------------------------------------------------------------------
+
+def make_mlm_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
+    def train_step(state: TrainState, batch, rng):
+        aug_rng, drop_rng = jax.random.split(rng)
+        img = process_batch(batch["image"], aug_rng, aug, True)
+        w = batch["weights"]
+
+        def loss_fn(params):
+            out, bstats = _apply(
+                model, state.replace(params=params), img,
+                batch["tokens"], batch["segment_ids"], batch["input_mask"],
+                drop_rng, True,
+            )
+            loss = _weighted_token_nll(out, batch["labels"], w)
+            return loss, (out, bstats)
+
+        (loss, (logits, bstats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=bstats)
+        correct, total = _mlm_metrics(logits, batch["labels"], w)
+        return state, {"loss": loss, "correct": correct, "total": total}
+
+    def eval_step(state: TrainState, batch):
+        img = process_batch(batch["image"], jax.random.PRNGKey(0), aug, False)
+        w = batch["weights"]
+        out, _ = _apply(
+            model, state, img, batch["tokens"], batch["segment_ids"],
+            batch["input_mask"], None, False,
+        )
+        loss = _weighted_token_nll(out, batch["labels"], w)
+        correct, total = _mlm_metrics(out, batch["labels"], w)
+        return {"loss": loss, "correct": correct, "total": total}
+
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# distillation pretraining (roco_train.py:94-95)
+# ---------------------------------------------------------------------------
+
+def make_distill_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
+    def train_step(state: TrainState, batch, rng):
+        aug_rng, drop_rng = jax.random.split(rng)
+        img = process_batch(batch["image"], aug_rng, aug, True)
+        w = batch["weights"]
+
+        def loss_fn(params):
+            out, bstats = _apply(
+                model, state.replace(params=params), img,
+                batch["tokens"], batch["segment_ids"], batch["input_mask"],
+                drop_rng, True,
+            )
+            per_sample = jnp.mean(
+                jnp.square(
+                    out.astype(jnp.float32)
+                    - batch["labels"].astype(jnp.float32)
+                ),
+                axis=(1, 2),
+            )
+            return _weighted_mean(per_sample, w), bstats
+
+        (loss, bstats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads).replace(batch_stats=bstats)
+        return state, {"loss": loss}
+
+    def eval_step(state: TrainState, batch):
+        img = process_batch(batch["image"], jax.random.PRNGKey(0), aug, False)
+        out, _ = _apply(
+            model, state, img, batch["tokens"], batch["segment_ids"],
+            batch["input_mask"], None, False,
+        )
+        per_sample = jnp.mean(
+            jnp.square(
+                out.astype(jnp.float32) - batch["labels"].astype(jnp.float32)
+            ),
+            axis=(1, 2),
+        )
+        return {"loss": _weighted_mean(per_sample, batch["weights"])}
+
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# MLM + SupCon/SimCLR joint pretraining (supcon_utils.py:263-323)
+# ---------------------------------------------------------------------------
+
+def make_supcon_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
+    """Two augmented views of each image (TwoCropTransform,
+    supcon_utils.py:26-32) + caption/back-translation token views,
+    concatenated along batch (process_tensors, :253-256). The similarity
+    mask is an optional input; the reference's live path does NOT pass it
+    (:287) — pass mask=None for parity, or set cfg.use_sim_mask.
+    """
+
+    def train_step(state: TrainState, batch, rng, sim_mask=None):
+        a1, a2, drop_rng = jax.random.split(rng, 3)
+        img1 = process_batch(batch["image"], a1, aug, True)
+        img2 = process_batch(batch["image"], a2, aug, True)
+        img = jnp.concatenate([img1, img2], axis=0)
+        ids = jnp.concatenate([batch["tokens"], batch["aug_tokens"]], axis=0)
+        seg = jnp.concatenate([batch["segment_ids"]] * 2, axis=0)
+        mask = jnp.concatenate([batch["input_mask"]] * 2, axis=0)
+        labels = jnp.concatenate([batch["labels"], batch["aug_labels"]], axis=0)
+        w = jnp.concatenate([batch["weights"]] * 2, axis=0)
+
+        def loss_fn(params):
+            (logits, feat), bstats = _apply(
+                model, state.replace(params=params), img, ids, seg, mask,
+                drop_rng, True,
+            )
+            nll = _weighted_token_nll(logits, labels, w)
+            feats = split_two_views(feat)
+            con = supcon_loss(feats, mask=sim_mask)
+            return nll + con, (logits, bstats, nll, con)
+
+        (loss, (logits, bstats, nll, con)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=bstats)
+        correct, total = _mlm_metrics(logits, labels, w)
+        return state, {
+            "loss": loss, "mlm_loss": nll, "supcon_loss": con,
+            "correct": correct, "total": total,
+        }
+
+    # validation is plain MLM (roco_supcon_train.py:174) on the supcon model,
+    # whose forward returns (logits, feat)
+    def eval_step(state: TrainState, batch):
+        img = process_batch(batch["image"], jax.random.PRNGKey(0), aug, False)
+        w = batch["weights"]
+        (logits, _), _ = _apply(
+            model, state, img, batch["tokens"], batch["segment_ids"],
+            batch["input_mask"], None, False,
+        )
+        loss = _weighted_token_nll(logits, batch["labels"], w)
+        correct, total = _mlm_metrics(logits, batch["labels"], w)
+        return {"loss": loss, "correct": correct, "total": total}
+
+    return (
+        jax.jit(train_step, donate_argnums=(0,)),
+        jax.jit(eval_step),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VQA fine-tuning (vqamed2019/utils.py:625-843)
+# ---------------------------------------------------------------------------
+
+def make_vqa_steps(
+    model,
+    cfg: Config,
+    aug: AugmentSpec = FINETUNE_AUG,
+    category_smoothing_table: Optional[jnp.ndarray] = None,
+):
+    """criterion select (train.py:164-174): CE | ASLSingleLabel |
+    LabelSmoothByCategory (when cfg.smoothing). Eval always uses plain CE
+    (utils.py:1261-1264 / LabelSmoothing eval branch).
+    """
+    use_smoothing = cfg.smoothing is not None and category_smoothing_table is not None
+    smoothing = cfg.smoothing if cfg.smoothing else 0.1
+    if use_smoothing:
+        category_smoothing_table = jnp.asarray(category_smoothing_table)
+
+    def criterion(logits, answers, categories):
+        logits32 = logits.astype(jnp.float32)
+        if use_smoothing:
+            soft = category_smoothing_table[categories]
+            bidx = jnp.arange(logits.shape[0])
+            soft = soft.at[bidx, answers].set(1.0 - smoothing)
+            logp = jax.nn.log_softmax(logits32, axis=-1)
+            return jnp.sum(-soft * logp, axis=-1)
+        if cfg.loss == "ASLSingleLabel":
+            # per-sample form of asl_single_label for weighted reduction
+            num_classes = logits.shape[-1]
+            logp = jax.nn.log_softmax(logits32, axis=-1)
+            one_hot = jax.nn.one_hot(answers, num_classes, dtype=logp.dtype)
+            anti = 1.0 - one_hot
+            p = jnp.exp(logp)
+            wgt = jnp.power(
+                1.0 - p * one_hot - (1.0 - p) * anti, 4.0 * anti
+            )
+            soft = one_hot * 0.9 + 0.1 / num_classes
+            return jnp.sum(-soft * (logp * wgt), axis=-1)
+        logp = jax.nn.log_softmax(logits32, axis=-1)
+        return -jnp.take_along_axis(logp, answers[:, None], axis=-1)[:, 0]
+
+    def eval_criterion(logits, answers):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.take_along_axis(logp, answers[:, None], axis=-1)[:, 0]
+
+    def train_step(state: TrainState, batch, rng):
+        aug_rng, drop_rng = jax.random.split(rng)
+        img = process_batch(batch["image"], aug_rng, aug, True)
+        w = batch["weights"]
+        answers = batch["answer"].astype(jnp.int32)
+        cats = batch.get("category", jnp.zeros_like(answers)).astype(jnp.int32)
+
+        def loss_fn(params):
+            logits, bstats = _apply(
+                model, state.replace(params=params), img,
+                batch["tokens"], batch["segment_ids"], batch["input_mask"],
+                drop_rng, True,
+            )
+            per_sample = criterion(logits, answers, cats)
+            return _weighted_mean(per_sample, w), (logits, bstats)
+
+        (loss, (logits, bstats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=bstats)
+        preds = jnp.argmax(logits, axis=-1)
+        return state, {"loss": loss, "preds": preds}
+
+    def eval_step(state: TrainState, batch):
+        img = process_batch(batch["image"], jax.random.PRNGKey(0), aug, False)
+        w = batch["weights"]
+        answers = batch["answer"].astype(jnp.int32)
+        logits, _ = _apply(
+            model, state, img, batch["tokens"], batch["segment_ids"],
+            batch["input_mask"], None, False,
+        )
+        loss = _weighted_mean(eval_criterion(logits, answers), w)
+        return {"loss": loss, "preds": jnp.argmax(logits, axis=-1),
+                "logits": logits}
+
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)

@@ -1,0 +1,139 @@
+"""Epoch loops: host control flow around the jitted steps.
+
+Metric aggregation matches the reference: epoch loss = mean of per-batch
+means (roco_utils.py:267-290); MLM accuracy = global over all masked tokens
+(roco_utils.py:280-285 concat-then-mean, done here with device counters);
+VQA collects per-sample predictions for host-side per-category metrics.
+Device scalars are collected un-synced and materialized once per epoch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from mmvqa_tpu.core.mesh import MeshSpec
+from mmvqa_tpu.parallel.sharding import place_batch
+
+
+def _mean(xs) -> float:
+    return float(np.mean([np.asarray(x) for x in xs])) if xs else float("nan")
+
+
+def mlm_epoch(
+    step_fn,
+    state,
+    loader,
+    mesh_spec: MeshSpec,
+    rng: jax.Array,
+    train: bool,
+    profile_dir: str = "",
+) -> Tuple[object, Dict[str, float]]:
+    losses, corrects, totals = [], [], []
+    n_items = 0
+    t0 = time.time()
+    for i, batch in enumerate(loader):
+        n_items += int(batch["weights"].sum())
+        batch = place_batch(batch, mesh_spec)
+        if train:
+            rng, sub = jax.random.split(rng)
+            state, m = step_fn(state, batch, sub)
+        else:
+            m = step_fn(state, batch)
+        losses.append(m["loss"])
+        if "correct" in m:
+            corrects.append(m["correct"])
+            totals.append(m["total"])
+    dt = time.time() - t0
+    metrics = {"loss": _mean(losses), "items_per_sec": n_items / max(dt, 1e-9)}
+    if corrects:
+        tot = float(np.sum([np.asarray(t) for t in totals]))
+        cor = float(np.sum([np.asarray(c) for c in corrects]))
+        metrics["acc"] = 100.0 * cor / max(tot, 1.0)
+    return state, metrics
+
+
+def supcon_epoch(
+    step_fn,
+    state,
+    loader,
+    mesh_spec: MeshSpec,
+    rng: jax.Array,
+    sim_mask_fn=None,
+) -> Tuple[object, Dict[str, float]]:
+    """Train epoch for joint MLM+SupCon. ``sim_mask_fn(captions, augs)``
+    builds the host-side similarity mask; None reproduces the reference's
+    live path (mask computed but unused, supcon_utils.py:286-287)."""
+    losses, mlms, cons, corrects, totals = [], [], [], [], []
+    n_items = 0
+    t0 = time.time()
+    for batch in loader:
+        n_items += int(batch["weights"].sum()) * 2
+        captions = batch.pop("caption", None)
+        augs = batch.pop("aug_caption", None)
+        sim_mask = None
+        if sim_mask_fn is not None and captions is not None:
+            sim_mask = sim_mask_fn(captions, augs)
+        batch = place_batch(batch, mesh_spec)
+        rng, sub = jax.random.split(rng)
+        state, m = step_fn(state, batch, sub, sim_mask)
+        losses.append(m["loss"])
+        mlms.append(m["mlm_loss"])
+        cons.append(m["supcon_loss"])
+        corrects.append(m["correct"])
+        totals.append(m["total"])
+    dt = time.time() - t0
+    tot = float(np.sum([np.asarray(t) for t in totals]))
+    cor = float(np.sum([np.asarray(c) for c in corrects]))
+    return state, {
+        "loss": _mean(losses),
+        "mlm_loss": _mean(mlms),
+        "supcon_loss": _mean(cons),
+        "acc": 100.0 * cor / max(tot, 1.0),
+        "items_per_sec": n_items / max(dt, 1e-9),
+    }
+
+
+def vqa_epoch(
+    step_fn,
+    state,
+    loader,
+    mesh_spec: MeshSpec,
+    rng: Optional[jax.Array],
+    train: bool,
+    collect_logits: bool = False,
+) -> Tuple[object, Dict]:
+    """Returns (state, {'loss', 'preds', 'targets', ['logits'],
+    'items_per_sec'}) with preds/targets filtered to real (non-pad) rows in
+    dataset order."""
+    losses, preds, targets, weights, logits = [], [], [], [], []
+    n_items = 0
+    t0 = time.time()
+    for batch in loader:
+        n_items += int(batch["weights"].sum())
+        weights.append(batch["weights"].copy())
+        targets.append(np.asarray(batch["answer"]).copy())
+        placed = place_batch(batch, mesh_spec)
+        if train:
+            rng, sub = jax.random.split(rng)
+            state, m = step_fn(state, placed, sub)
+        else:
+            m = step_fn(state, placed)
+            if collect_logits:
+                logits.append(m["logits"])
+        losses.append(m["loss"])
+        preds.append(m["preds"])
+    dt = time.time() - t0
+    w = np.concatenate(weights) > 0
+    out = {
+        "loss": _mean(losses),
+        "preds": np.concatenate([np.asarray(p) for p in preds])[w],
+        "targets": np.concatenate(targets)[w],
+        "items_per_sec": n_items / max(dt, 1e-9),
+    }
+    if collect_logits and logits:
+        out["logits"] = np.concatenate([np.asarray(l) for l in logits])[w]
+    return state, out

@@ -7,7 +7,7 @@ without TPU hardware via XLA's host-platform device partitioning
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.pop("JAX_PLATFORMS", None)  # the env presets axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +15,9 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# config.update sticks even where the env var is overridden by the launcher
+jax.config.update("jax_platforms", "cpu")
 
 # Golden-value tests compare against float64/torch oracles; the 'default'
 # matmul precision is allowed to drop to bf16 passes even on CPU.

@@ -1,0 +1,77 @@
+"""Device augmentation pipeline tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvqa_tpu.data.images import (
+    FINETUNE_AUG,
+    PRETRAIN_AUG,
+    AugmentSpec,
+    _crop_resize,
+    _interp_matrix,
+    load_image,
+    process_batch,
+    random_rotate_host,
+)
+
+
+def test_interp_matrix_identity():
+    # full-extent crop: rows are one-hot at the diagonal -> identity resample
+    w = np.asarray(_interp_matrix(jnp.asarray(0.0), jnp.asarray(16.0), 16))
+    np.testing.assert_allclose(w, np.eye(16), atol=1e-6)
+
+
+def test_interp_matrix_rows_sum_to_one(rng):
+    w = np.asarray(_interp_matrix(jnp.asarray(2.3), jnp.asarray(9.7), 16))
+    np.testing.assert_allclose(w.sum(1), 1.0, atol=1e-6)
+    assert (w >= 0).all()
+
+
+def test_crop_resize_full_box_is_identity(rng):
+    img = jnp.asarray(rng.random((16, 16, 3)).astype(np.float32))
+    spec = AugmentSpec(crop_scale=(1.0, 1.0), crop_ratio=(1.0, 1.0))
+    out = _crop_resize(img, jax.random.PRNGKey(0), spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_process_batch_normalize_only(rng):
+    x = rng.integers(0, 255, (4, 16, 16, 3), dtype=np.uint8)
+    out = process_batch(jnp.asarray(x), jax.random.PRNGKey(0),
+                        PRETRAIN_AUG, False)
+    want = (x.astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+    assert np.asarray(out).min() >= -1.0 and np.asarray(out).max() <= 1.0
+
+
+def test_process_batch_augment_stays_in_range(rng):
+    x = rng.integers(0, 255, (4, 16, 16, 3), dtype=np.uint8)
+    out = np.asarray(
+        process_batch(jnp.asarray(x), jax.random.PRNGKey(1), FINETUNE_AUG, True)
+    )
+    assert out.shape == (4, 16, 16, 3)
+    assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+    # different keys give different augmentations
+    out2 = np.asarray(
+        process_batch(jnp.asarray(x), jax.random.PRNGKey(2), FINETUNE_AUG, True)
+    )
+    assert not np.allclose(out, out2)
+
+
+def test_random_rotate_host(rng):
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    assert (random_rotate_host(img, 0.0, np.random.default_rng(0)) == img).all()
+    rot = random_rotate_host(img, 10.0, np.random.default_rng(0))
+    assert rot.shape == img.shape and not (rot == img).all()
+
+
+def test_load_image_resize_center_crop(tmp_path, rng):
+    from PIL import Image
+
+    arr = rng.integers(0, 255, (100, 60, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.jpg")
+    Image.fromarray(arr).save(p)
+    out = load_image(p, 32)
+    assert out.shape == (32, 32, 3) and out.dtype == np.uint8

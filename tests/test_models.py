@@ -183,9 +183,6 @@ class TestCNNs:
         # one block per stage for speed; channels/strides as v2-m
         arch = tuple(
             (b, 1, k, s, e, c, se)
-            for (b, _, k, s, e, c, se) in EffNetV2Features.arch.default
-        ) if False else tuple(
-            (b, 1, k, s, e, c, se)
             for (b, _, k, s, e, c, se) in (
                 ("fused", 3, 3, 1, 1, 24, 0.0),
                 ("fused", 5, 3, 2, 4, 48, 0.0),
@@ -218,41 +215,10 @@ def _tiny_cfg(**kw):
         transformer_model="transformer",
         dataset="roco",
         task="MLM",
+        tiny_cnn=True,
     )
     base.update(kw)
     return Config(**base)
-
-
-class _TinyTrunkMixin:
-    """Swap the full-size CNN stage lists for 1-block stages in tests."""
-
-    @staticmethod
-    def patch(monkeypatch):
-        import mmvqa_tpu.models.visual_tokens as vt
-
-        class TinyResNet(ResNetFeatures):
-            pass
-
-        monkeypatch.setattr(
-            vt, "ResNetFeatures",
-            lambda **kw: ResNetFeatures(stage_sizes=(1, 1, 1, 1), **kw),
-        )
-        tiny_arch = tuple(
-            (b, 1, k, s, e, c, se)
-            for (b, _, k, s, e, c, se) in (
-                ("fused", 3, 3, 1, 1, 24, 0.0),
-                ("fused", 5, 3, 2, 4, 48, 0.0),
-                ("fused", 5, 3, 2, 4, 80, 0.0),
-                ("mb", 7, 3, 2, 4, 160, 0.25),
-                ("mb", 14, 3, 1, 6, 176, 0.25),
-                ("mb", 18, 3, 2, 6, 304, 0.25),
-                ("mb", 5, 3, 1, 6, 512, 0.25),
-            )
-        )
-        monkeypatch.setattr(
-            vt, "EffNetV2Features",
-            lambda **kw: EffNetV2Features(arch=tiny_arch, **kw),
-        )
 
 
 def _batch(rng, cfg, B=2):
@@ -265,8 +231,7 @@ def _batch(rng, cfg, B=2):
 
 
 class TestMMBert:
-    def test_mlm_forward_shapes(self, rng, monkeypatch):
-        _TinyTrunkMixin.patch(monkeypatch)
+    def test_mlm_forward_shapes(self, rng):
         cfg = _tiny_cfg()
         model = MMBert(cfg)
         img, ids, seg, mask = _batch(rng, cfg)
@@ -274,8 +239,7 @@ class TestMMBert:
         logits = model.apply(variables, img, ids, seg, mask)
         assert logits.shape == (2, cfg.max_position_embeddings, cfg.vocab_size)
 
-    def test_supcon_returns_normalized_features(self, rng, monkeypatch):
-        _TinyTrunkMixin.patch(monkeypatch)
+    def test_supcon_returns_normalized_features(self, rng):
         cfg = _tiny_cfg(supcon=True, feat_dim=8)
         model = MMBert(cfg)
         img, ids, seg, mask = _batch(rng, cfg)
@@ -286,8 +250,7 @@ class TestMMBert:
             np.linalg.norm(np.asarray(feat), axis=-1), 1.0, rtol=1e-5
         )
 
-    def test_vqa_forward_and_fusion_overwrites_cls(self, rng, monkeypatch):
-        _TinyTrunkMixin.patch(monkeypatch)
+    def test_vqa_forward_and_fusion_overwrites_cls(self, rng):
         cfg = _tiny_cfg(dataset="VQA-Med", num_classes=7,
                         transformer_model="realformer", hidden_size=24)
         model = MMBert(cfg)
@@ -309,8 +272,7 @@ class TestMMBert:
         logits3 = model.apply(variables, img, ids3, seg, mask)
         assert not np.allclose(np.asarray(logits), np.asarray(logits3))
 
-    def test_effnet_7_tokens(self, rng, monkeypatch):
-        _TinyTrunkMixin.patch(monkeypatch)
+    def test_effnet_7_tokens(self, rng):
         cfg = _tiny_cfg(cnn_encoder="tf_efficientnetv2_m", num_vis=7)
         model = MMBert(cfg)
         img, ids, seg, mask = _batch(rng, cfg)
