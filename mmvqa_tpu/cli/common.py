@@ -33,6 +33,11 @@ def add_tpu_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--use_sim_mask", action="store_true", default=False,
                    help="actually pass the similarity mask to SupConLoss "
                         "(the reference computes but drops it)")
+    p.add_argument("--cnn_checkpoint", type=str, default="",
+                   help="torch state_dict (torchvision resnet152 / timm "
+                        "tf_efficientnetv2_m) to import as the CNN trunk")
+    p.add_argument("--bert_checkpoint", type=str, default="",
+                   help="HF bert state_dict to import as the embedding table")
 
 
 def pretrain_parser(supcon: bool = False) -> argparse.ArgumentParser:

@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["Train", "Val", "Test"])
     p.add_argument("--save_dir", type=str, default="./gradcam-images")
     p.add_argument("--vocab_file", type=str, default="")
+    p.add_argument("--method", type=str, default="gradcam",
+                   choices=["gradcam", "gradcam++", "xgradcam", "eigencam",
+                            "scorecam", "ablationcam"],
+                   help="CAM variant (reference grad_cam.py:65-72 zoo)")
     return p
 
 
@@ -102,7 +106,44 @@ def main(argv: Optional[list] = None) -> None:
         "params": loaded["params"], "batch_stats": loaded["batch_stats"]
     }
 
-    heat, logits = grad_cam_heatmap(model, variables, img, ids, seg, mask, answer)
+    if args.method == "gradcam":
+        heat, logits = grad_cam_heatmap(
+            model, variables, img, ids, seg, mask, answer
+        )
+    else:
+        from mmvqa_tpu.explain import CAM_METHODS, grad_cam_activations
+        from mmvqa_tpu.explain.cam_zoo import ablation_cam, score_cam
+
+        acts, grads, logits = grad_cam_activations(
+            model, variables, img, ids, seg, mask, answer
+        )
+        if args.method == "scorecam":
+            def score_fn(masked_imgs):
+                lg = model.apply(variables, masked_imgs,
+                                 jnp.repeat(ids, masked_imgs.shape[0], 0),
+                                 jnp.repeat(seg, masked_imgs.shape[0], 0),
+                                 jnp.repeat(mask, masked_imgs.shape[0], 0))
+                return lg[:, answer]
+
+            heat = np.asarray(score_cam(acts, img, score_fn))[0]
+        elif args.method == "ablationcam":
+            base = logits[0, answer]
+
+            def rerun_fn(ablated):
+                lg, _ = model.apply(
+                    variables, img, ids, seg, mask,
+                    method=type(model).features_and_logits,
+                    perturb=ablated - acts,
+                )
+                return lg[:, answer]
+
+            heat = np.asarray(
+                ablation_cam(acts, rerun_fn, jnp.asarray([base]))
+            )[0]
+        elif args.method == "eigencam":
+            heat = np.asarray(CAM_METHODS["eigencam"](acts))[0]
+        else:
+            heat = np.asarray(CAM_METHODS[args.method](acts, grads))[0]
     overlay = overlay_heatmap(img_u8, heat)
 
     os.makedirs(args.save_dir, exist_ok=True)

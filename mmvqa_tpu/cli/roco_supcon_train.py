@@ -81,7 +81,9 @@ def main(argv: Optional[list] = None) -> None:
 
     model = MMBert(cfg, dtype=dtype)
     state = init_model_state(
-        model, cfg, mesh_spec, next(iter(train_loader)), cfg.lr
+        model, cfg, mesh_spec, next(iter(train_loader)), cfg.lr,
+        cnn_checkpoint=getattr(args, "cnn_checkpoint", ""),
+        bert_checkpoint=getattr(args, "bert_checkpoint", ""),
     )
     scheduler = ReduceLROnPlateau(
         lr=cfg.lr, patience=cfg.patience, factor=cfg.factor

@@ -35,8 +35,12 @@ from mmvqa_tpu.train import (
 from mmvqa_tpu.utils.logging import MetricSink, seed_everything
 
 
-def init_model_state(model, cfg, mesh_spec, sample_batch, lr, clip=False):
-    """jit-compiled init (fast) + DP/TP placement."""
+def init_model_state(
+    model, cfg, mesh_spec, sample_batch, lr, clip=False,
+    cnn_checkpoint="", bert_checkpoint="",
+):
+    """jit-compiled init (fast), optional pretrained backbone/embedding
+    import (torchvision/timm/HF state_dicts), DP/TP placement."""
     from mmvqa_tpu.parallel.sharding import place_state
 
     B = sample_batch["tokens"].shape[0]
@@ -51,6 +55,25 @@ def init_model_state(model, cfg, mesh_spec, sample_batch, lr, clip=False):
         )
 
     variables = jax.jit(init_fn)(jax.random.PRNGKey(cfg.seed))
+    if cnn_checkpoint:
+        from mmvqa_tpu.models.import_torch import import_backbone_into_variables
+
+        variables = import_backbone_into_variables(
+            dict(variables), cfg, cnn_checkpoint
+        )
+        print(f"[mmvqa] imported CNN trunk from {cnn_checkpoint}")
+    if bert_checkpoint:
+        from mmvqa_tpu.models.import_torch import (
+            convert_bert_embeddings,
+            load_state_dict,
+        )
+
+        emb = convert_bert_embeddings(load_state_dict(bert_checkpoint))
+        variables = dict(variables)
+        params = dict(variables["params"])
+        params["bert_embedding"] = emb
+        variables["params"] = params
+        print(f"[mmvqa] imported BERT embeddings from {bert_checkpoint}")
     state = create_train_state(variables, lr, clip)
     return place_state(state, mesh_spec)
 
@@ -85,7 +108,9 @@ def main(argv: Optional[list] = None) -> None:
 
     model = MMBert(cfg, dtype=dtype)
     state = init_model_state(
-        model, cfg, mesh_spec, next(iter(train_loader)), cfg.lr
+        model, cfg, mesh_spec, next(iter(train_loader)), cfg.lr,
+        cnn_checkpoint=getattr(args, "cnn_checkpoint", ""),
+        bert_checkpoint=getattr(args, "bert_checkpoint", ""),
     )
     scheduler = ReduceLROnPlateau(
         lr=cfg.lr, patience=cfg.patience, factor=cfg.factor
@@ -115,6 +140,10 @@ def main(argv: Optional[list] = None) -> None:
     rng = jax.random.PRNGKey(cfg.seed)
     os.makedirs(os.path.join(cfg.save_dir, cfg.task), exist_ok=True)
 
+    if cfg.profile_dir:
+        # capture a device trace of the first epoch (SURVEY.md §5.1)
+        jax.profiler.start_trace(cfg.profile_dir)
+
     for epoch in range(start_epoch, cfg.epochs):
         print(f"Epoch {epoch + 1}/{cfg.epochs}")
         rng, erng = jax.random.split(rng)
@@ -123,6 +152,10 @@ def main(argv: Optional[list] = None) -> None:
         )
         _, vm = mlm_epoch(eval_step, state, val_loader, mesh_spec, None, False)
 
+
+        if cfg.profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
+            print(f"[mmvqa] profiler trace written to {cfg.profile_dir}")
         new_lr = scheduler.step(vm["loss"])
         state = state.with_lr(new_lr)
 

@@ -39,7 +39,13 @@ from mmvqa_tpu.utils.logging import MetricSink, seed_everything
 
 
 def main(argv: Optional[list] = None) -> None:
-    args = vqa_parser(eval_only=True).parse_args(argv)
+    parser = vqa_parser(eval_only=True)
+    parser.add_argument(
+        "--model_dirs", nargs="+", default=None,
+        help="ensemble: average logits over several checkpoints "
+             "(final_test, vqamed2019/utils.py:845-872)",
+    )
+    args = parser.parse_args(argv)
     cfg = config_from_args(args)
     seed_everything(cfg.seed)
     mesh_spec, dtype = setup_runtime(cfg)
@@ -65,17 +71,29 @@ def main(argv: Optional[list] = None) -> None:
     state = init_model_state(
         model, cfg, mesh_spec, next(iter(test_loader)), cfg.lr
     )
-    print("Loading model at ", cfg.model_dir)
-    loaded = checkpoint.load_weights(cfg.model_dir)
-    state = state.replace(
-        params=loaded["params"], batch_stats=loaded["batch_stats"]
-    )
-
     _, eval_step = make_vqa_steps(model, cfg)
-    _, sm = vqa_epoch(
-        eval_step, state, test_loader, mesh_spec, None, False,
-        collect_logits=True,
-    )
+
+    model_paths = args.model_dirs or [cfg.model_dir]
+    all_logits = []
+    sm = None
+    for path in model_paths:
+        print("Loading model at ", path)
+        loaded = checkpoint.load_weights(path)
+        state = state.replace(
+            params=loaded["params"], batch_stats=loaded["batch_stats"]
+        )
+        _, sm = vqa_epoch(
+            eval_step, state, test_loader, mesh_spec, None, False,
+            collect_logits=True,
+        )
+        all_logits.append(sm["logits"])
+    if len(all_logits) > 1:
+        from mmvqa_tpu.evaluation.metrics import ensemble_logits
+
+        mean_logits = ensemble_logits(all_logits)
+        sm = dict(sm)
+        sm["preds"] = np.argmax(mean_logits, axis=-1)
+        print(f"[mmvqa] ensembled {len(all_logits)} models")
 
     acc = per_category_accuracy(sm["preds"], sm["targets"], test_df["category"])
     bleu = per_category_bleu(

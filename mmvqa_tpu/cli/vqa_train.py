@@ -71,7 +71,9 @@ def main(argv: Optional[list] = None) -> None:
 
     model = MMBert(cfg, dtype=dtype)
     state = init_model_state(
-        model, cfg, mesh_spec, next(iter(train_loader)), cfg.lr, cfg.clip
+        model, cfg, mesh_spec, next(iter(train_loader)), cfg.lr, cfg.clip,
+        cnn_checkpoint=getattr(args, "cnn_checkpoint", ""),
+        bert_checkpoint=getattr(args, "bert_checkpoint", ""),
     )
 
     if cfg.use_pretrained:
@@ -119,6 +121,10 @@ def main(argv: Optional[list] = None) -> None:
     rng = jax.random.PRNGKey(cfg.seed)
     os.makedirs(os.path.join(cfg.save_dir, cfg.task), exist_ok=True)
 
+    if cfg.profile_dir:
+        # capture a device trace of the first epoch (SURVEY.md §5.1)
+        jax.profiler.start_trace(cfg.profile_dir)
+
     for epoch in range(cfg.epochs):
         print(f"Epoch {epoch + 1}/{cfg.epochs}")
         rng, erng = jax.random.split(rng)
@@ -128,6 +134,10 @@ def main(argv: Optional[list] = None) -> None:
         _, vm = vqa_epoch(eval_step, state, val_loader, mesh_spec, None, False)
         _, sm = vqa_epoch(eval_step, state, test_loader, mesh_spec, None, False)
 
+
+        if cfg.profile_dir and epoch == 0:
+            jax.profiler.stop_trace()
+            print(f"[mmvqa] profiler trace written to {cfg.profile_dir}")
         new_lr = scheduler.step(vm["loss"])
         state = state.with_lr(new_lr)
 

@@ -156,6 +156,31 @@ class ROCODataset:
             self.cfg.data_dir, self.mode, "radiology", "images", name
         )
 
+    def _teacher(self):
+        """Lazy ClinicalBERT teacher for --task distillation
+        (roco_utils.py:554-562); requires a LOCAL checkpoint."""
+        if not hasattr(self, "_teacher_fn"):
+            try:
+                import torch
+                from transformers import AutoModel
+
+                model = AutoModel.from_pretrained(
+                    self.cfg.clinicalbert, local_files_only=True
+                ).eval()
+            except Exception as e:
+                raise RuntimeError(
+                    "distillation needs a local ClinicalBERT checkpoint "
+                    f"({self.cfg.clinicalbert}): {e}"
+                ) from e
+
+            def run(ids):
+                with torch.no_grad():
+                    t = torch.from_numpy(np.asarray(ids)).long()
+                    return model(t, torch.ones_like(t)).last_hidden_state.numpy()
+
+            self._teacher_fn = run
+        return self._teacher_fn
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         img = load_image(self.image_path(idx), self.cfg.image_size)
         if self.mode == "train":
@@ -163,6 +188,20 @@ class ROCODataset:
 
             img = random_rotate_host(img, self.rotate_deg, self._nprand)
         caption = str(self._rows[idx, 2]).strip()
+        if self.cfg.task == "distillation":
+            from mmvqa_tpu.data.text_encoding import encode_text_distillation
+
+            enc = encode_text_distillation(
+                caption, self.tokenizer, self._teacher(), self.cfg.num_vis,
+                self.cfg.max_position_embeddings, self.cfg.max_token_length,
+            )
+            return {
+                "image": img,
+                "tokens": enc.tokens,
+                "segment_ids": enc.segment_ids,
+                "input_mask": enc.input_mask,
+                "labels": enc.labels,
+            }
         enc = encode_text_mlm(
             caption, self.tokenizer, self._keyset, self.cfg.num_vis,
             self.cfg.max_position_embeddings, self.cfg.mlm_prob, self._rand,

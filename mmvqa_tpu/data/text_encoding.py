@@ -135,6 +135,52 @@ def encode_text_vqa(
     )
 
 
+def encode_text_distillation(
+    caption: str,
+    tokenizer,
+    teacher,
+    num_vis: int,
+    max_position_embeddings: int,
+    max_token_length: int,
+) -> EncodedText:
+    """Distillation layout (roco_utils.py:112-132, 162-199): labels are the
+    teacher's last-hidden-state vectors for the caption tokens (CLS/SEP
+    stripped), zero vectors elsewhere; same [CLS]+vis+[SEP]+text+[SEP] token
+    layout as MLM. ``teacher(input_ids, attention_mask)`` -> (1, L, H) array.
+    """
+    total_special = num_vis + 3
+    budget = max_position_embeddings - total_special
+    pieces = tokenizer.tokenize(caption)[: max_token_length - 2]
+    ids = tokenizer.convert_tokens_to_ids(pieces)
+    teach_in = np.asarray(
+        [[tokenizer.cls_token_id] + ids + [tokenizer.sep_token_id]], np.int32
+    )
+    hidden = np.asarray(teacher(teach_in))  # (1, L, H)
+    vec_labels = hidden[0, 1:-1]  # strip CLS/SEP (roco_utils.py:127-129)
+
+    ids = ids[:budget]
+    vec_labels = vec_labels[:budget]
+    tokens = (
+        [tokenizer.cls_token_id] + [0] * num_vis + [tokenizer.sep_token_id]
+        + ids + [tokenizer.sep_token_id]
+    )
+    segment_ids = [0] * (num_vis + 2) + [1] * (len(ids) + 1)
+    input_mask = [1] * len(tokens)
+    n_pad = max_position_embeddings - len(tokens)
+    tokens += [0] * n_pad
+    segment_ids += [0] * n_pad
+    input_mask += [0] * n_pad
+    H = vec_labels.shape[-1]
+    labels = np.zeros((max_position_embeddings, H), np.float32)
+    labels[num_vis + 2 : num_vis + 2 + len(ids)] = vec_labels
+    return EncodedText(
+        tokens=np.asarray(tokens, np.int32),
+        segment_ids=np.asarray(segment_ids, np.int32),
+        input_mask=np.asarray(input_mask, np.float32),
+        labels=labels,
+    )
+
+
 def flatten_keywords(key_dict: dict) -> List[str]:
     """med_vocab.pkl {roco_id: [keywords]} -> flat keyword list
     (roco_utils.py:47-63). The reference's ``keywords.extend(word + '.')``

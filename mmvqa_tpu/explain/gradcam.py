@@ -19,6 +19,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def grad_cam_activations(
+    model,
+    variables,
+    img: jax.Array,
+    input_ids: jax.Array,
+    segment_ids: jax.Array,
+    input_mask: jax.Array,
+    answer: int,
+):
+    """Returns (activations (B,h,w,C), grads (B,h,w,C), logits (B,classes))
+    at the deepest tapped CNN map — inputs for any CAM-zoo method."""
+    logits, feats = model.apply(
+        variables, img, input_ids, segment_ids, input_mask,
+        method=type(model).features_and_logits,
+    )
+    deepest = feats[-1] if "efficientnetv2" in model.cfg.cnn_encoder else feats[0]
+
+    def f(eps):
+        lg, _ = model.apply(
+            variables, img, input_ids, segment_ids, input_mask,
+            method=type(model).features_and_logits, perturb=eps,
+        )
+        return lg[0, answer], lg
+
+    (_, lg), grads = jax.value_and_grad(f, has_aux=True)(
+        jnp.zeros_like(deepest)
+    )
+    return deepest, grads, lg
+
+
 def grad_cam_heatmap(
     model,
     variables,
@@ -29,22 +59,8 @@ def grad_cam_heatmap(
     answer: int,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (heatmap (h, w) in [0, 1], logits (B, C))."""
-    # probe shapes once
-    logits, feats = model.apply(
-        variables, img, input_ids, segment_ids, input_mask,
-        method=type(model).features_and_logits,
-    )
-    deepest = feats[-1] if "efficientnetv2" in model.cfg.cnn_encoder else feats[0]
-
-    def f(eps):
-        lg, fts = model.apply(
-            variables, img, input_ids, segment_ids, input_mask,
-            method=type(model).features_and_logits, perturb=eps,
-        )
-        return lg[0, answer], lg
-
-    (val, lg), grads = jax.value_and_grad(f, has_aux=True)(
-        jnp.zeros_like(deepest)
+    deepest, grads, lg = grad_cam_activations(
+        model, variables, img, input_ids, segment_ids, input_mask, answer
     )
     # channel weights: mean over batch and spatial dims (grad_cam2.py:144)
     pooled = jnp.mean(grads, axis=(0, 1, 2))  # (C,) — NHWC here

@@ -306,3 +306,58 @@ def make_vqa_steps(
                 "logits": logits}
 
     return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+
+
+# ---------------------------------------------------------------------------
+# image-only auxiliary baselines (vqamed2019/utils.py:960-1232)
+# ---------------------------------------------------------------------------
+
+def make_img_only_steps(model, cfg: Config, aug: AugmentSpec = FINETUNE_AUG):
+    """Train/eval steps for ImageOnlyClassifier (optional keyword pathway);
+    plain CE like the reference's img-only/binary loops."""
+
+    def _forward(params, batch_stats, img, keyword, rng, train):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mut = model.apply(
+                variables, img, keyword, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng} if rng is not None else {},
+            )
+            return out, mut["batch_stats"]
+        return model.apply(variables, img, keyword, train=False), batch_stats
+
+    def train_step(state: TrainState, batch, rng):
+        aug_rng, drop_rng = jax.random.split(rng)
+        img = process_batch(batch["image"], aug_rng, aug, True)
+        w = batch["weights"]
+        answers = batch["answer"].astype(jnp.int32)
+        keyword = batch.get("keyword")
+
+        def loss_fn(params):
+            logits, bstats = _forward(
+                params, state.batch_stats, img, keyword, drop_rng, True
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            per = -jnp.take_along_axis(logp, answers[:, None], axis=-1)[:, 0]
+            return _weighted_mean(per, w), (logits, bstats)
+
+        (loss, (logits, bstats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads).replace(batch_stats=bstats)
+        return state, {"loss": loss, "preds": jnp.argmax(logits, -1)}
+
+    def eval_step(state: TrainState, batch):
+        img = process_batch(batch["image"], jax.random.PRNGKey(0), aug, False)
+        w = batch["weights"]
+        answers = batch["answer"].astype(jnp.int32)
+        logits, _ = _forward(
+            state.params, state.batch_stats, img, batch.get("keyword"),
+            None, False,
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        per = -jnp.take_along_axis(logp, answers[:, None], axis=-1)[:, 0]
+        return {"loss": _weighted_mean(per, w),
+                "preds": jnp.argmax(logits, -1), "logits": logits}
+
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
