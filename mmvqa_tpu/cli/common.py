@@ -38,6 +38,8 @@ def add_tpu_flags(p: argparse.ArgumentParser) -> None:
                         "tf_efficientnetv2_m) to import as the CNN trunk")
     p.add_argument("--bert_checkpoint", type=str, default="",
                    help="HF bert state_dict to import as the embedding table")
+    p.add_argument("--steps_per_call", type=int, default=8,
+                   help="chain K train steps into one jit dispatch (scan)")
 
 
 def pretrain_parser(supcon: bool = False) -> argparse.ArgumentParser:

@@ -116,8 +116,21 @@ def main(argv: Optional[list] = None) -> None:
         lr=cfg.lr, patience=cfg.patience, factor=cfg.factor
     )
 
+    multi_step = multi_eval = None
     if cfg.task == "MLM":
-        train_step, eval_step = make_mlm_steps(model, cfg)
+        if cfg.steps_per_call > 1:
+            from mmvqa_tpu.train.steps import (
+                make_multi_eval_step,
+                make_multi_step,
+            )
+
+            train_step, eval_step, train_raw, eval_raw = make_mlm_steps(
+                model, cfg, raw=True
+            )
+            multi_step = make_multi_step(train_raw, cfg.steps_per_call)
+            multi_eval = make_multi_eval_step(eval_raw, cfg.steps_per_call)
+        else:
+            train_step, eval_step = make_mlm_steps(model, cfg)
     else:
         train_step, eval_step = make_distill_steps(model, cfg)
 
@@ -148,9 +161,13 @@ def main(argv: Optional[list] = None) -> None:
         print(f"Epoch {epoch + 1}/{cfg.epochs}")
         rng, erng = jax.random.split(rng)
         state, tm = mlm_epoch(
-            train_step, state, train_loader, mesh_spec, erng, True
+            train_step, state, train_loader, mesh_spec, erng, True,
+            multi_step_fn=multi_step, steps_per_call=cfg.steps_per_call,
         )
-        _, vm = mlm_epoch(eval_step, state, val_loader, mesh_spec, None, False)
+        _, vm = mlm_epoch(
+            eval_step, state, val_loader, mesh_spec, None, False,
+            multi_step_fn=multi_eval, steps_per_call=cfg.steps_per_call,
+        )
 
 
         if cfg.profile_dir and epoch == start_epoch:

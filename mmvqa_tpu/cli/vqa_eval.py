@@ -71,7 +71,14 @@ def main(argv: Optional[list] = None) -> None:
     state = init_model_state(
         model, cfg, mesh_spec, next(iter(test_loader)), cfg.lr
     )
-    _, eval_step = make_vqa_steps(model, cfg)
+    multi_eval = None
+    if cfg.steps_per_call > 1:
+        from mmvqa_tpu.train.steps import make_multi_eval_step
+
+        _, eval_step, _, eval_raw = make_vqa_steps(model, cfg, raw=True)
+        multi_eval = make_multi_eval_step(eval_raw, cfg.steps_per_call)
+    else:
+        _, eval_step = make_vqa_steps(model, cfg)
 
     model_paths = args.model_dirs or [cfg.model_dir]
     all_logits = []
@@ -85,6 +92,7 @@ def main(argv: Optional[list] = None) -> None:
         _, sm = vqa_epoch(
             eval_step, state, test_loader, mesh_spec, None, False,
             collect_logits=True,
+            multi_step_fn=multi_eval, steps_per_call=cfg.steps_per_call,
         )
         all_logits.append(sm["logits"])
     if len(all_logits) > 1:

@@ -108,9 +108,19 @@ def main(argv: Optional[list] = None) -> None:
     else:
         print("Using CrossEntropyLoss")
 
-    train_step, eval_step = make_vqa_steps(
-        model, cfg, category_smoothing_table=smoothing_table
-    )
+    multi_step = multi_eval = None
+    if cfg.steps_per_call > 1:
+        from mmvqa_tpu.train.steps import make_multi_eval_step, make_multi_step
+
+        train_step, eval_step, train_raw, eval_raw = make_vqa_steps(
+            model, cfg, category_smoothing_table=smoothing_table, raw=True
+        )
+        multi_step = make_multi_step(train_raw, cfg.steps_per_call)
+        multi_eval = make_multi_eval_step(eval_raw, cfg.steps_per_call)
+    else:
+        train_step, eval_step = make_vqa_steps(
+            model, cfg, category_smoothing_table=smoothing_table
+        )
     scheduler = ReduceLROnPlateau(
         lr=cfg.lr, patience=cfg.patience, factor=cfg.factor
     )
@@ -129,10 +139,17 @@ def main(argv: Optional[list] = None) -> None:
         print(f"Epoch {epoch + 1}/{cfg.epochs}")
         rng, erng = jax.random.split(rng)
         state, tm = vqa_epoch(
-            train_step, state, train_loader, mesh_spec, erng, True
+            train_step, state, train_loader, mesh_spec, erng, True,
+            multi_step_fn=multi_step, steps_per_call=cfg.steps_per_call,
         )
-        _, vm = vqa_epoch(eval_step, state, val_loader, mesh_spec, None, False)
-        _, sm = vqa_epoch(eval_step, state, test_loader, mesh_spec, None, False)
+        _, vm = vqa_epoch(
+            eval_step, state, val_loader, mesh_spec, None, False,
+            multi_step_fn=multi_eval, steps_per_call=cfg.steps_per_call,
+        )
+        _, sm = vqa_epoch(
+            eval_step, state, test_loader, mesh_spec, None, False,
+            multi_step_fn=multi_eval, steps_per_call=cfg.steps_per_call,
+        )
 
 
         if cfg.profile_dir and epoch == 0:

@@ -105,6 +105,7 @@ class Config:
     donate: bool = True          # donate train-state buffers to the jit step
     profile_dir: str = ""        # jax.profiler trace output directory
     debug_nans: bool = False     # jax_debug_nans (SURVEY.md §5.2)
+    steps_per_call: int = 8      # chain K steps into one jit dispatch
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -101,9 +101,16 @@ def place_state(state, mesh_spec: MeshSpec):
     )
 
 
-def place_batch(batch: dict, mesh_spec: MeshSpec) -> dict:
-    """Shard array fields on the leading (batch) dim over 'data'."""
-    sh = mesh_spec.batch_sharding()
+def place_batch(batch: dict, mesh_spec: MeshSpec, stacked: bool = False) -> dict:
+    """Shard array fields on the batch dim over 'data'. ``stacked=True`` for
+    (steps, batch, ...) super-step inputs — the batch dim is axis 1."""
+    from jax.sharding import PartitionSpec as P
+
+    sh = (
+        NamedSharding(mesh_spec.mesh, P(None, "data"))
+        if stacked
+        else mesh_spec.batch_sharding()
+    )
     out = {}
     for k, v in batch.items():
         if isinstance(v, (list, str)):

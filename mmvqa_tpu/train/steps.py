@@ -74,11 +74,53 @@ def _mlm_metrics(logits, labels, w):
     return correct, jnp.sum(masked)
 
 
+def make_multi_step(train_step_raw, steps_per_call: int):
+    """Chain ``steps_per_call`` train steps into ONE jitted program via
+    lax.scan over stacked batches (leading axis = step). Metrics come back
+    stacked per inner step.
+
+    This is not just an optimization here: per-dispatch execution through
+    the remote device tunnel measures SECONDS per step while the identical
+    program inside a lax.scan runs at device speed (~170 ms) — so the
+    drivers super-step by default (--steps_per_call). No reference
+    equivalent (the reference dispatches per batch).
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step_k(state: TrainState, stacked_batches, rng):
+        keys = jax.random.split(rng, steps_per_call)
+
+        def body(s, xs):
+            b, k = xs
+            return train_step_raw(s, b, k)
+
+        return jax.lax.scan(body, state, (stacked_batches, keys))
+
+    return step_k
+
+
+def make_multi_eval_step(eval_step_raw, steps_per_call: int):
+    """Scan ``steps_per_call`` eval steps in one dispatch (see
+    make_multi_step for why)."""
+
+    @jax.jit
+    def step_k(state: TrainState, stacked_batches):
+        def body(_, b):
+            return None, eval_step_raw(state, b)
+
+        _, metrics = jax.lax.scan(body, None, stacked_batches)
+        return metrics
+
+    return step_k
+
+
 # ---------------------------------------------------------------------------
 # MLM pretraining (roco_train.py / roco_utils.py:207-372)
 # ---------------------------------------------------------------------------
 
-def make_mlm_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
+def make_mlm_steps(
+    model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG, raw: bool = False
+):
     def train_step(state: TrainState, batch, rng):
         aug_rng, drop_rng = jax.random.split(rng)
         img = process_batch(batch["image"], aug_rng, aug, True)
@@ -111,6 +153,13 @@ def make_mlm_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
         correct, total = _mlm_metrics(out, batch["labels"], w)
         return {"loss": loss, "correct": correct, "total": total}
 
+    if raw:
+        return (
+            jax.jit(train_step, donate_argnums=(0,)),
+            jax.jit(eval_step),
+            train_step,
+            eval_step,
+        )
     return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
 
 
@@ -233,6 +282,7 @@ def make_vqa_steps(
     cfg: Config,
     aug: AugmentSpec = FINETUNE_AUG,
     category_smoothing_table: Optional[jnp.ndarray] = None,
+    raw: bool = False,
 ):
     """criterion select (train.py:164-174): CE | ASLSingleLabel |
     LabelSmoothByCategory (when cfg.smoothing). Eval always uses plain CE
@@ -305,6 +355,13 @@ def make_vqa_steps(
         return {"loss": loss, "preds": jnp.argmax(logits, axis=-1),
                 "logits": logits}
 
+    if raw:
+        return (
+            jax.jit(train_step, donate_argnums=(0,)),
+            jax.jit(eval_step),
+            train_step,
+            eval_step,
+        )
     return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
 
 

@@ -4,7 +4,12 @@ Metric aggregation matches the reference: epoch loss = mean of per-batch
 means (roco_utils.py:267-290); MLM accuracy = global over all masked tokens
 (roco_utils.py:280-285 concat-then-mean, done here with device counters);
 VQA collects per-sample predictions for host-side per-category metrics.
-Device scalars are collected un-synced and materialized once per epoch.
+
+Super-stepping: with ``steps_per_call > 1`` the loop stacks K batches and
+dispatches ONE scanned program (mmvqa_tpu.train.steps.make_multi_step /
+make_multi_eval_step); per-dispatch execution through the remote device
+tunnel costs seconds per step, the scanned program runs at device speed.
+The remainder (< K batches) falls back to the single-step program.
 """
 
 from __future__ import annotations
@@ -23,6 +28,22 @@ def _mean(xs) -> float:
     return float(np.mean([np.asarray(x) for x in xs])) if xs else float("nan")
 
 
+def _stack_batches(batches):
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
+def _grouped(loader, k: int):
+    """Yield (stacked_group or None, leftover_batches list)."""
+    pending = []
+    for batch in loader:
+        pending.append(batch)
+        if len(pending) == k:
+            yield pending, True
+            pending = []
+    if pending:
+        yield pending, False
+
+
 def mlm_epoch(
     step_fn,
     state,
@@ -30,23 +51,51 @@ def mlm_epoch(
     mesh_spec: MeshSpec,
     rng: jax.Array,
     train: bool,
-    profile_dir: str = "",
+    multi_step_fn=None,
+    steps_per_call: int = 1,
 ) -> Tuple[object, Dict[str, float]]:
     losses, corrects, totals = [], [], []
     n_items = 0
     t0 = time.time()
-    for i, batch in enumerate(loader):
-        n_items += int(batch["weights"].sum())
-        batch = place_batch(batch, mesh_spec)
+
+    def run_single(batch):
+        nonlocal state, rng
+        placed = place_batch(batch, mesh_spec)
         if train:
             rng, sub = jax.random.split(rng)
-            state, m = step_fn(state, batch, sub)
+            state, m = step_fn(state, placed, sub)
         else:
-            m = step_fn(state, batch)
+            m = step_fn(state, placed)
         losses.append(m["loss"])
         if "correct" in m:
             corrects.append(m["correct"])
             totals.append(m["total"])
+
+    use_multi = multi_step_fn is not None and steps_per_call > 1
+    if use_multi:
+        for group, full in _grouped(loader, steps_per_call):
+            n_items += int(sum(b["weights"].sum() for b in group))
+            if full:
+                stacked = place_batch(
+                    _stack_batches(group), mesh_spec, stacked=True
+                )
+                if train:
+                    rng, sub = jax.random.split(rng)
+                    state, m = multi_step_fn(state, stacked, sub)
+                else:
+                    m = multi_step_fn(state, stacked)
+                losses.extend(list(m["loss"]))
+                if "correct" in m:
+                    corrects.extend(list(m["correct"]))
+                    totals.extend(list(m["total"]))
+            else:
+                for b in group:
+                    run_single(b)
+    else:
+        for batch in loader:
+            n_items += int(batch["weights"].sum())
+            run_single(batch)
+
     dt = time.time() - t0
     metrics = {"loss": _mean(losses), "items_per_sec": n_items / max(dt, 1e-9)}
     if corrects:
@@ -105,6 +154,8 @@ def vqa_epoch(
     rng: Optional[jax.Array],
     train: bool,
     collect_logits: bool = False,
+    multi_step_fn=None,
+    steps_per_call: int = 1,
 ) -> Tuple[object, Dict]:
     """Returns (state, {'loss', 'preds', 'targets', ['logits'],
     'items_per_sec'}) with preds/targets filtered to real (non-pad) rows in
@@ -112,10 +163,16 @@ def vqa_epoch(
     losses, preds, targets, weights, logits = [], [], [], [], []
     n_items = 0
     t0 = time.time()
-    for batch in loader:
+
+    def note_batch(batch):
+        nonlocal n_items
         n_items += int(batch["weights"].sum())
-        weights.append(batch["weights"].copy())
+        weights.append(np.asarray(batch["weights"]).copy())
         targets.append(np.asarray(batch["answer"]).copy())
+
+    def run_single(batch):
+        nonlocal state, rng
+        note_batch(batch)
         placed = place_batch(batch, mesh_spec)
         if train:
             rng, sub = jax.random.split(rng)
@@ -126,6 +183,30 @@ def vqa_epoch(
                 logits.append(m["logits"])
         losses.append(m["loss"])
         preds.append(m["preds"])
+
+    use_multi = multi_step_fn is not None and steps_per_call > 1
+    if use_multi:
+        for group, full in _grouped(loader, steps_per_call):
+            if not full:
+                for b in group:
+                    run_single(b)
+                continue
+            for b in group:
+                note_batch(b)
+            stacked = place_batch(_stack_batches(group), mesh_spec, stacked=True)
+            if train:
+                rng, sub = jax.random.split(rng)
+                state, m = multi_step_fn(state, stacked, sub)
+            else:
+                m = multi_step_fn(state, stacked)
+                if collect_logits:
+                    logits.extend(list(m["logits"]))
+            losses.extend(list(m["loss"]))
+            preds.extend(list(m["preds"]))
+    else:
+        for batch in loader:
+            run_single(batch)
+
     dt = time.time() - t0
     w = np.concatenate(weights) > 0
     out = {
