@@ -81,7 +81,42 @@ class WordPieceTokenizer:
                 tok = line.rstrip("\n")
                 if tok:
                     vocab[tok] = i
-        return cls(vocab)
+        tok = cls(vocab)
+        tok._init_native(path)
+        return tok
+
+    # -- native (C++) fast path ---------------------------------------------
+
+    def _init_native(self, vocab_path: str) -> None:
+        """Attach the ctypes WordPiece library (ASCII fast path; parity with
+        the Python implementation is pinned by tests/test_native.py)."""
+        try:
+            from mmvqa_tpu.native import get_wordpiece_lib
+
+            lib = get_wordpiece_lib()
+            if lib is None:
+                return
+            handle = lib.wp_load(vocab_path.encode())
+            if handle:
+                self._native_lib = lib
+                self._native_handle = handle
+        except Exception:
+            pass
+
+    def _native_ids(self, text: str) -> Optional[List[int]]:
+        lib = getattr(self, "_native_lib", None)
+        if lib is None or not text.isascii() or "[" in text:
+            return None  # bracketed specials use the python never_split path
+        import ctypes
+
+        buf_len = max(64, 2 * len(text) + 16)
+        buf = (ctypes.c_int32 * buf_len)()
+        n = lib.wp_tokenize(
+            self._native_handle, text.encode(), buf, buf_len
+        )
+        if n < 0:
+            return None
+        return list(buf[:n])
 
     @classmethod
     def find_and_load(
@@ -192,6 +227,9 @@ class WordPieceTokenizer:
     # -- public API (mirrors the HF methods the reference uses) -------------
 
     def tokenize(self, text: str) -> List[str]:
+        ids = self._native_ids(text)
+        if ids is not None:
+            return [self.ids_to_tokens[i] for i in ids]
         out: List[str] = []
         for tok in self.basic_tokenize(text):
             if tok in self.never_split:
@@ -207,7 +245,9 @@ class WordPieceTokenizer:
         return [self.ids_to_tokens.get(i, self.unk_token) for i in ids]
 
     def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
-        ids = self.convert_tokens_to_ids(self.tokenize(text))
+        ids = self._native_ids(text)
+        if ids is None:
+            ids = self.convert_tokens_to_ids(self.tokenize(text))
         if add_special_tokens:
             return [self.cls_token_id] + ids + [self.sep_token_id]
         return ids

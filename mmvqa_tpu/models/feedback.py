@@ -112,10 +112,12 @@ class FeedbackSegment(nn.Module):
         bias = jnp.transpose(bias, (2, 0, 1))[None]          # (1, h, n, M+n)
         invalid_mem = jnp.broadcast_to(mem_slot >= count, (n, M))
         causal = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]
-        # reference n==1 remainder: no self kv at all (self_attend=False)
-        self_cols_off = jnp.arange(n)[None, :] >= n_valid
+        # reference remainder semantics: a 1-valid-token window has NO self
+        # kv at all (self_attend = n > 1, reference :163-172) — mask every
+        # self column, not just the padded ones
+        self_invalid = jnp.where(n_valid > 1, causal, jnp.ones_like(causal))
         key_invalid = jnp.concatenate(
-            [invalid_mem, causal | self_cols_off], axis=1
+            [invalid_mem, self_invalid], axis=1
         )  # (n, M+n)
 
         x = xseg
