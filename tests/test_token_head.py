@@ -1,0 +1,61 @@
+"""Fused visual-token head kernel vs the XLA reference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvqa_tpu.ops.pallas_token_head import (
+    fused_token_head,
+    token_head_reference,
+)
+
+
+@pytest.mark.parametrize("act", ["serf", "relu"])
+@pytest.mark.parametrize("P", [512, 700])  # aligned + padded tail
+def test_forward_matches_reference(rng, act, P):
+    B, K, C = 2, 24, 64
+    x = jnp.asarray(rng.normal(size=(B, P, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(K, C)).astype(np.float32) * 0.1)
+    got = fused_token_head(x, w, act)
+    want = token_head_reference(x, w, act)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+
+@pytest.mark.parametrize("act", ["serf", "relu"])
+def test_gradients_match_reference(rng, act):
+    B, P, K, C = 2, 700, 24, 64
+    x = jnp.asarray(rng.normal(size=(B, P, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(K, C)).astype(np.float32) * 0.1)
+    g_out = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32))
+
+    def loss_fused(x, w):
+        return jnp.sum(fused_token_head(x, w, act) * g_out)
+
+    def loss_ref(x, w):
+        return jnp.sum(token_head_reference(x, w, act) * g_out)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_bf16_inputs(rng):
+    B, P, K, C = 2, 512, 24, 64
+    x = jnp.asarray(rng.normal(size=(B, P, K)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(K, C)) * 0.1, jnp.bfloat16)
+    got = fused_token_head(x, w, "serf")
+    want = token_head_reference(x, w, "serf")
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
