@@ -106,6 +106,7 @@ class Config:
     profile_dir: str = ""        # jax.profiler trace output directory
     debug_nans: bool = False     # jax_debug_nans (SURVEY.md §5.2)
     steps_per_call: int = 8      # chain K steps into one jit dispatch
+    token_head: str = "einsum"   # visual-token head impl: einsum|pallas|conv
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)

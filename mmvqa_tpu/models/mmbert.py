@@ -54,6 +54,7 @@ class MMBert(nn.Module):
             hidden_size=cfg.hidden_size,
             use_relu=cfg.use_relu,
             tiny=cfg.tiny_cnn,
+            token_head_impl=cfg.token_head,
             dtype=self.dtype,
         )
         if "feedback-transformer" in cfg.transformer_model:

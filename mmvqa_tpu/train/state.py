@@ -58,6 +58,10 @@ def make_optimizer(lr: float, clip: bool = False) -> optax.GradientTransformatio
         chain = []
         if clip:
             chain.append(optax.clip_by_global_norm(1.0))
+        # NOTE: optax.flatten (single raveled Adam) was A/B-tested and is
+        # throughput-neutral-to-negative here — the profiler's
+        # "param update fusions" bucket is dominated by conv weight-grad
+        # reductions, not the per-leaf optimizer. Keep plain per-leaf Adam.
         chain.append(
             optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
         )
