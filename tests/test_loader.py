@@ -1,0 +1,118 @@
+"""BatchLoader unit tests: fixed shapes, padding weights, sharding,
+shuffling, string passthrough, and the distillation text encoding with a
+fake teacher."""
+
+import numpy as np
+import pytest
+
+from mmvqa_tpu.data.loader import BatchLoader
+
+
+class ToyDataset:
+    def __init__(self, n, with_text=False):
+        self.n = n
+        self.with_text = with_text
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        out = {"x": np.full((3,), i, np.float32),
+               "y": np.asarray(i, np.int32)}
+        if self.with_text:
+            out["caption"] = f"caption {i}"
+        return out
+
+
+def test_fixed_shapes_and_padding_weights():
+    loader = BatchLoader(ToyDataset(10), batch_size=4, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["x"].shape == (4, 3)
+        assert b["weights"].shape == (4,)
+    # last batch: 2 real + 2 padded
+    np.testing.assert_array_equal(batches[-1]["weights"], [1, 1, 0, 0])
+    # all real samples seen exactly once among weight-1 rows
+    seen = np.concatenate([b["y"][b["weights"] > 0] for b in batches])
+    assert sorted(seen.tolist()) == list(range(10))
+
+
+def test_drop_last():
+    loader = BatchLoader(ToyDataset(10), batch_size=4, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert all((b["weights"] == 1).all() for b in batches)
+
+
+def test_sharding_partitions_dataset():
+    seen = []
+    for idx in range(3):
+        loader = BatchLoader(
+            ToyDataset(10), batch_size=4, shard_index=idx, shard_count=3
+        )
+        for b in loader:
+            seen.extend(b["y"][b["weights"] > 0].tolist())
+    assert sorted(seen) == list(range(10))
+
+
+def test_shuffle_changes_order_per_epoch():
+    loader = BatchLoader(ToyDataset(16), batch_size=16, shuffle=True, seed=1)
+    e1 = next(iter(loader))["y"].tolist()
+    e2 = next(iter(loader))["y"].tolist()
+    assert sorted(e1) == sorted(e2) == list(range(16))
+    assert e1 != e2  # epoch counter reseeds
+
+
+def test_string_fields_stay_lists():
+    loader = BatchLoader(ToyDataset(4, with_text=True), batch_size=2)
+    b = next(iter(loader))
+    assert isinstance(b["caption"], list) and len(b["caption"]) == 2
+
+
+def test_image_cache_hits():
+    calls = []
+
+    class Counting(ToyDataset):
+        def __getitem__(self, i):
+            calls.append(i)
+            return super().__getitem__(i)
+
+    loader = BatchLoader(Counting(4), batch_size=4, cache_images=True)
+    list(loader)
+    list(loader)
+    assert len(calls) == 4  # second epoch fully cached
+
+
+def test_distillation_encoding_with_fake_teacher(tmp_path):
+    from mmvqa_tpu.data.text_encoding import encode_text_distillation
+    from mmvqa_tpu.data.tokenizer import (
+        WordPieceTokenizer,
+        build_vocab_from_corpus,
+        write_vocab,
+    )
+
+    corpus = ["the lung shows pneumonia", "ct scan normal"]
+    vocab = build_vocab_from_corpus(corpus, max_size=500)
+    path = str(tmp_path / "vocab.txt")
+    write_vocab(vocab, path)
+    tok = WordPieceTokenizer.from_vocab_file(path)
+
+    H = 8
+
+    def fake_teacher(ids):
+        ids = np.asarray(ids)
+        # deterministic embedding: token id broadcast over H dims
+        return np.repeat(ids[..., None], H, axis=-1).astype(np.float32)
+
+    enc = encode_text_distillation(
+        "the lung shows pneumonia", tok, fake_teacher,
+        num_vis=5, max_position_embeddings=20, max_token_length=16,
+    )
+    assert enc.labels.shape == (20, H)
+    # labels at text positions equal the token ids (CLS/SEP stripped)
+    ids = tok.tokenize("the lung shows pneumonia")
+    id_vals = tok.convert_tokens_to_ids(ids)
+    np.testing.assert_array_equal(enc.labels[7, :], id_vals[0])
+    # visual/special/pad positions carry zero vectors
+    assert (enc.labels[:7] == 0).all()
