@@ -34,8 +34,6 @@ from mmvqa_tpu.similarity import SimilarityCalculator, build_mask
 from mmvqa_tpu.train import (
     ReduceLROnPlateau,
     checkpoint,
-    create_train_state,
-    make_mlm_steps,
     make_supcon_steps,
     mlm_epoch,
     supcon_epoch,

@@ -16,7 +16,7 @@ These are host-side (non-jit) computations by design — SURVEY.md §7 "host
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ denominator automatically (the jitted program sees the global batch).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,13 +26,6 @@ from mmvqa_tpu.data.images import (
     PRETRAIN_AUG,
     AugmentSpec,
     process_batch,
-)
-from mmvqa_tpu.ops.losses import (
-    asl_single_label,
-    cross_entropy,
-    masked_mlm_nll,
-    mse_distillation,
-    smoothed_soft_target_ce,
 )
 from mmvqa_tpu.ops.supcon import split_two_views, supcon_loss
 from mmvqa_tpu.train.state import TrainState
