@@ -86,7 +86,21 @@ def main(argv: Optional[list] = None) -> None:
     scheduler = ReduceLROnPlateau(
         lr=cfg.lr, patience=cfg.patience, factor=cfg.factor
     )
-    train_step, eval_step = make_supcon_steps(model, cfg)
+    multi_step = multi_eval = None
+    if cfg.steps_per_call > 1:
+        from mmvqa_tpu.train.steps import make_multi_eval_step, make_multi_step
+
+        train_step, eval_step, train_raw, eval_raw = make_supcon_steps(
+            model, cfg, raw=True
+        )
+        # the scanned train body fixes sim_mask=None (the reference's live
+        # path); when --use_sim_mask is set the epoch loop dispatches singly
+        multi_step = make_multi_step(
+            lambda s, b, k: train_raw(s, b, k, None), cfg.steps_per_call
+        )
+        multi_eval = make_multi_eval_step(eval_raw, cfg.steps_per_call)
+    else:
+        train_step, eval_step = make_supcon_steps(model, cfg)
 
     sim_mask_fn = None
     if cfg.use_sim_mask and cfg.con_task == "supcon":
@@ -126,8 +140,12 @@ def main(argv: Optional[list] = None) -> None:
         state, tm = supcon_epoch(
             train_step, state, train_loader, mesh_spec, erng,
             sim_mask_fn=sim_mask_fn,
+            multi_step_fn=multi_step, steps_per_call=cfg.steps_per_call,
         )
-        _, vm = mlm_epoch(eval_step, state, val_loader, mesh_spec, None, False)
+        _, vm = mlm_epoch(
+            eval_step, state, val_loader, mesh_spec, None, False,
+            multi_step_fn=multi_eval, steps_per_call=cfg.steps_per_call,
+        )
 
         new_lr = scheduler.step(vm["loss"])
         state = state.with_lr(new_lr)

@@ -208,7 +208,9 @@ def make_distill_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
 # MLM + SupCon/SimCLR joint pretraining (supcon_utils.py:263-323)
 # ---------------------------------------------------------------------------
 
-def make_supcon_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
+def make_supcon_steps(
+    model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG, raw: bool = False
+):
     """Two augmented views of each image (TwoCropTransform,
     supcon_utils.py:26-32) + caption/back-translation token views,
     concatenated along batch (process_tensors, :253-256). The similarity
@@ -260,6 +262,13 @@ def make_supcon_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
         correct, total = _mlm_metrics(logits, batch["labels"], w)
         return {"loss": loss, "correct": correct, "total": total}
 
+    if raw:
+        return (
+            jax.jit(train_step, donate_argnums=(0,)),
+            jax.jit(eval_step),
+            train_step,
+            eval_step,
+        )
     return (
         jax.jit(train_step, donate_argnums=(0,)),
         jax.jit(eval_step),

@@ -112,28 +112,68 @@ def supcon_epoch(
     mesh_spec: MeshSpec,
     rng: jax.Array,
     sim_mask_fn=None,
+    multi_step_fn=None,
+    steps_per_call: int = 1,
 ) -> Tuple[object, Dict[str, float]]:
     """Train epoch for joint MLM+SupCon. ``sim_mask_fn(captions, augs)``
     builds the host-side similarity mask; None reproduces the reference's
-    live path (mask computed but unused, supcon_utils.py:286-287)."""
+    live path (mask computed but unused, supcon_utils.py:286-287).
+    Super-stepping applies only to the mask-less path (the mask rides the
+    host, so masked batches dispatch singly)."""
     losses, mlms, cons, corrects, totals = [], [], [], [], []
     n_items = 0
     t0 = time.time()
-    for batch in loader:
-        n_items += int(batch["weights"].sum()) * 2
-        captions = batch.pop("caption", None)
-        augs = batch.pop("aug_caption", None)
-        sim_mask = None
-        if sim_mask_fn is not None and captions is not None:
-            sim_mask = sim_mask_fn(captions, augs)
-        batch = place_batch(batch, mesh_spec)
-        rng, sub = jax.random.split(rng)
-        state, m = step_fn(state, batch, sub, sim_mask)
-        losses.append(m["loss"])
-        mlms.append(m["mlm_loss"])
-        cons.append(m["supcon_loss"])
-        corrects.append(m["correct"])
-        totals.append(m["total"])
+
+    def strip_text(b):
+        b = dict(b)
+        return b.pop("caption", None), b.pop("aug_caption", None), b
+
+    def record(m, many=False):
+        if many:
+            losses.extend(list(m["loss"]))
+            mlms.extend(list(m["mlm_loss"]))
+            cons.extend(list(m["supcon_loss"]))
+            corrects.extend(list(m["correct"]))
+            totals.extend(list(m["total"]))
+        else:
+            losses.append(m["loss"])
+            mlms.append(m["mlm_loss"])
+            cons.append(m["supcon_loss"])
+            corrects.append(m["correct"])
+            totals.append(m["total"])
+
+    use_multi = (
+        multi_step_fn is not None and steps_per_call > 1
+        and sim_mask_fn is None
+    )
+    if use_multi:
+        for group, full in _grouped(loader, steps_per_call):
+            n_items += int(sum(b["weights"].sum() for b in group)) * 2
+            group = [strip_text(b)[2] for b in group]
+            if full:
+                stacked = place_batch(
+                    _stack_batches(group), mesh_spec, stacked=True
+                )
+                rng, sub = jax.random.split(rng)
+                state, m = multi_step_fn(state, stacked, sub)
+                record(m, many=True)
+            else:
+                for b in group:
+                    placed = place_batch(b, mesh_spec)
+                    rng, sub = jax.random.split(rng)
+                    state, m = step_fn(state, placed, sub, None)
+                    record(m)
+    else:
+        for batch in loader:
+            n_items += int(batch["weights"].sum()) * 2
+            captions, augs, batch = strip_text(batch)
+            sim_mask = None
+            if sim_mask_fn is not None and captions is not None:
+                sim_mask = sim_mask_fn(captions, augs)
+            batch = place_batch(batch, mesh_spec)
+            rng, sub = jax.random.split(rng)
+            state, m = step_fn(state, batch, sub, sim_mask)
+            record(m)
     dt = time.time() - t0
     tot = float(np.sum([np.asarray(t) for t in totals]))
     cor = float(np.sum([np.asarray(c) for c in corrects]))
