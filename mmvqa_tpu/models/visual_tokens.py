@@ -53,17 +53,19 @@ class VisualTokenizer(nn.Module):
     tiny: bool = False  # 1-block-per-stage trunks for tests/dryruns
     dtype: jnp.dtype = jnp.float32
 
-    token_head_impl: str = "einsum"  # 'einsum' | 'pallas' | 'conv'
+    token_head_impl: str = "conv"  # 'conv' | 'einsum' | 'pallas'
 
     def _token(self, feat: jax.Array, idx: int, always_serf: bool = False):
         """GAP(act(conv1x1(feat))) -> one hidden_size token.
 
-        Formulated as einsum+mean rather than nn.Conv: XLA then fuses the
-        projection, activation and pooling WITHOUT materializing the
-        (B, H, W, hidden) map (2.5 GB bf16 at stage 0, B=128 — the nn.Conv
-        form cost ~30 ms/train-step in profiles, the fused form ~6 ms).
-        The weight keeps the (1, 1, K, C) conv kernel shape so checkpoints
-        are layout-compatible across impls.
+        Three impls, all numerics-equivalent (tests): 'conv' (nn.Conv form),
+        'einsum' (matmul form), 'pallas' (streaming kernel that never
+        materializes the (B, H, W, hidden) map, ops/pallas_token_head.py).
+        Same-session A/B at B=128 bf16 full train step: conv 172.1 /
+        einsum 175.3 / pallas 177.1 ms — XLA overlaps the materialization
+        well, so the simplest form stays default. The einsum/pallas weight
+        keeps the (1, 1, K, C) conv-kernel shape so checkpoints are
+        layout-compatible across impls.
         """
         act_name = "serf" if (always_serf or not self.use_relu) else "relu"
         if self.token_head_impl == "conv":
