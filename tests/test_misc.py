@@ -1,0 +1,115 @@
+"""Odds and ends: category-filtered answer vocab, xplane wire parser,
+config validation, TP sharding rule inference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+
+def _df(rows):
+    return pd.DataFrame(rows, columns=["img_id", "question", "answer",
+                                       "category", "mode"])
+
+
+def test_build_answer_vocab_category_filter_removes_yes_no():
+    from mmvqa_tpu.data.datasets import build_answer_vocab
+
+    train = _df([
+        ["a", "q1", "ct", "modality", "train"],
+        ["b", "q2", "yes", "modality", "train"],
+        ["c", "q3", "mri", "modality", "train"],
+        ["d", "q4", "lung", "organ", "train"],
+    ])
+    val = _df([["e", "q5", "ct", "modality", "val"]])
+    test = _df([["f", "q6", "mri", "modality", "test"]])
+    tr, va, te, idx2ans, n = build_answer_vocab(
+        train, val, test, category="modality"
+    )
+    # organ row and yes/no rows filtered (train.py:91-99)
+    assert set(idx2ans.values()) == {"ct", "mri"}
+    assert len(tr) == 2 and len(va) == 1 and len(te) == 1
+
+
+def test_build_answer_vocab_first_seen_order():
+    from mmvqa_tpu.data.datasets import build_answer_vocab
+
+    train = _df([["a", "q", "zeta", "organ", "train"],
+                 ["b", "q", "alpha", "organ", "train"]])
+    val = _df([["c", "q", "beta", "organ", "val"]])
+    test = _df([["d", "q", "alpha", "organ", "test"]])
+    _, _, _, idx2ans, n = build_answer_vocab(train, val, test)
+    # insertion order over the concatenated union, NOT sorted (train.py:103)
+    assert [idx2ans[i] for i in range(n)] == ["zeta", "alpha", "beta"]
+
+
+def test_xplane_parser_roundtrip(tmp_path):
+    """Hand-encode a tiny XSpace proto and check the wire parser."""
+    from mmvqa_tpu.utils.xplane import read_xspace
+
+    def varint(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def field(num, wire, payload):
+        key = varint((num << 3) | wire)
+        if wire == 2:
+            return key + varint(len(payload)) + payload
+        return key + payload
+
+    # XEvent{metadata_id=1: 7, duration_ps=3: 5000}
+    event = field(1, 0, varint(7)) + field(3, 0, varint(5000))
+    line = field(6, 2, event) + field(6, 2, event)  # two events
+    # XEventMetadata{id=1:7, name=2:"matmul"}
+    emeta = field(1, 0, varint(7)) + field(2, 2, b"matmul")
+    map_entry = field(1, 0, varint(7)) + field(2, 2, emeta)
+    plane = (
+        field(2, 2, b"/device:TPU:0")
+        + field(4, 2, map_entry)
+        + field(3, 2, line)
+    )
+    space = field(1, 2, plane)
+    p = tmp_path / "x.xplane.pb"
+    p.write_bytes(space)
+
+    planes = read_xspace(str(p))
+    assert len(planes) == 1
+    name, durs = planes[0]
+    assert name == "/device:TPU:0"
+    assert durs["matmul"] == 10000  # two 5000ps events summed
+
+
+def test_config_validation_errors():
+    from mmvqa_tpu.core.config import Config
+
+    with pytest.raises(ValueError):
+        Config(transformer_model="mamba").validate()
+    Config(transformer_model="realformer", hidden_size=64).validate()
+
+
+def test_tp_sharding_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from mmvqa_tpu.core.mesh import make_mesh
+    from mmvqa_tpu.parallel.sharding import infer_param_shardings
+
+    mesh = make_mesh(dp_size=4, tp_size=2, devices=jax.devices()[:8])
+    params = {
+        "feedforward_0": {"fc1": {"kernel": np.zeros((8, 16)),
+                                  "bias": np.zeros((16,))},
+                          "fc2": {"kernel": np.zeros((16, 8))}},
+        "norm1": {"scale": np.zeros((8,))},
+        "bert_embedding": {"word_embeddings": {"embedding": np.zeros((30, 8))}},
+    }
+    sh = infer_param_shardings(params, mesh)
+    assert sh["feedforward_0"]["fc1"]["kernel"].spec == P(None, "model")
+    assert sh["feedforward_0"]["fc2"]["kernel"].spec == P("model", None)
+    assert sh["feedforward_0"]["fc1"]["bias"].spec == P()
+    assert sh["norm1"]["scale"].spec == P()
+    assert sh["bert_embedding"]["word_embeddings"]["embedding"].spec == P("model")
