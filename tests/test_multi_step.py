@@ -1,0 +1,97 @@
+"""Super-stepping equivalence: make_multi_step / make_multi_eval_step must
+produce bit-identical states and metrics to running the same steps
+sequentially with the same keys (tiny model, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mmvqa_tpu.core.config import pretrain_config
+from mmvqa_tpu.models import MMBert
+from mmvqa_tpu.train import create_train_state, make_mlm_steps
+from mmvqa_tpu.train.steps import make_multi_eval_step, make_multi_step
+
+K, B, T, S = 3, 4, 16, 32
+
+
+@pytest.fixture(scope="module")
+def setup(rng=None):
+    rng = np.random.default_rng(0)
+    cfg = pretrain_config(
+        hidden_size=32, n_layers=1, heads=4, vocab_size=64,
+        max_position_embeddings=T, image_size=S, tiny_cnn=True,
+        batch_size=B, mlm_prob=0.5, hidden_dropout_prob=0.0,
+    )
+    model = MMBert(cfg)
+    batches = {
+        "image": rng.integers(0, 255, (K, B, S, S, 3), dtype=np.uint8),
+        "tokens": rng.integers(0, 64, (K, B, T)).astype(np.int32),
+        "segment_ids": np.zeros((K, B, T), np.int32),
+        "input_mask": np.ones((K, B, T), np.float32),
+        "labels": (rng.integers(0, 64, (K, B, T))
+                   * (rng.random((K, B, T)) < 0.3)).astype(np.int32),
+        "weights": np.ones((K, B), np.float32),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, S, S, 3)),
+        jnp.asarray(batches["tokens"][0]),
+        jnp.asarray(batches["segment_ids"][0]),
+        jnp.asarray(batches["input_mask"][0]),
+    )
+    return cfg, model, batches, variables
+
+
+def _fresh(variables):
+    # donation in the multi-step deletes buffers; copy per test
+    return jax.tree.map(lambda x: jnp.array(x), variables)
+
+
+def test_multi_train_step_equals_sequential(setup):
+    cfg, model, batches, variables = setup
+    variables = _fresh(variables)
+    _, _, train_raw, _ = make_mlm_steps(model, cfg, raw=True)
+
+    rng = jax.random.PRNGKey(42)
+    keys = jax.random.split(rng, K)
+
+    # sequential
+    state = create_train_state(_fresh(variables), 1e-3)
+    seq_losses = []
+    for i in range(K):
+        b = {k: jnp.asarray(v[i]) for k, v in batches.items()}
+        state, m = jax.jit(train_raw)(state, b, keys[i])
+        seq_losses.append(float(m["loss"]))
+    seq_leaf = np.asarray(jax.tree.leaves(state.params)[0])
+
+    # stacked scan
+    state2 = create_train_state(_fresh(variables), 1e-3)
+    multi = make_multi_step(train_raw, K)
+    stacked = {k: jnp.asarray(v) for k, v in batches.items()}
+    state2, m = multi(state2, stacked, rng)
+    multi_losses = [float(x) for x in m["loss"]]
+
+    np.testing.assert_allclose(multi_losses, seq_losses, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state2.params)[0]), seq_leaf, rtol=1e-6,
+        atol=1e-7,
+    )
+    assert int(state2.step) == K
+
+
+def test_multi_eval_step_equals_sequential(setup):
+    cfg, model, batches, variables = setup
+    _, eval_jit, _, eval_raw = make_mlm_steps(model, cfg, raw=True)
+    state = create_train_state(_fresh(variables), 1e-3)
+
+    seq = []
+    for i in range(K):
+        b = {k: jnp.asarray(v[i]) for k, v in batches.items()}
+        seq.append(float(eval_jit(state, b)["loss"]))
+
+    multi = make_multi_eval_step(eval_raw, K)
+    stacked = {k: jnp.asarray(v) for k, v in batches.items()}
+    m = multi(state, stacked)
+    np.testing.assert_allclose([float(x) for x in m["loss"]], seq, rtol=1e-6)
