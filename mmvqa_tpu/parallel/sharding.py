@@ -78,21 +78,36 @@ def infer_param_shardings(params: Any, mesh_spec: MeshSpec) -> Any:
 
 
 def place_state(state, mesh_spec: MeshSpec):
-    """Place a TrainState: params/opt_state per TP rule, the rest replicated."""
+    """Place a TrainState: params per TP rule, optimizer moments mirroring
+    their params' layout, everything else replicated.
+
+    Adam's ``mu``/``nu`` trees are structural copies of ``params`` (optax
+    builds them with tree_map), so any opt_state subtree whose treedef
+    equals the params treedef gets the per-leaf param shardings. This keeps
+    TP memory scaling for the optimizer (2x param bytes) and avoids per-step
+    resharding of moments against TP-sharded params.
+    """
     p_sh = infer_param_shardings(state.params, mesh_spec)
     rep = mesh_spec.replicated()
+    p_struct = jax.tree_util.tree_structure(state.params)
 
-    def put(tree, sh):
-        return jax.device_put(tree, sh)
+    def params_like(x):
+        return jax.tree_util.tree_structure(x) == p_struct
 
     params = jax.tree.map(
         lambda x, s: jax.device_put(x, s), state.params, p_sh
     )
-    # optimizer moments mirror the param layout
-    def place_opt(x):
-        return x  # handled below by tree structure match where possible
 
-    opt_state = jax.tree.map(lambda x: jax.device_put(x, rep), state.opt_state)
+    opt_leaves, opt_def = jax.tree_util.tree_flatten(
+        state.opt_state, is_leaf=params_like
+    )
+    placed = [
+        jax.tree.map(lambda x, s: jax.device_put(x, s), leaf, p_sh)
+        if params_like(leaf)
+        else jax.device_put(leaf, rep)
+        for leaf in opt_leaves
+    ]
+    opt_state = jax.tree_util.tree_unflatten(opt_def, placed)
     batch_stats = jax.tree.map(
         lambda x: jax.device_put(x, rep), state.batch_stats
     )

@@ -113,3 +113,52 @@ def test_tp_sharding_rules():
     assert sh["feedforward_0"]["fc1"]["bias"].spec == P()
     assert sh["norm1"]["scale"].spec == P()
     assert sh["bert_embedding"]["word_embeddings"]["embedding"].spec == P("model")
+
+
+def test_place_state_tp_shards_optimizer_moments():
+    """Adam mu/nu leaves must carry the SAME sharding as their params on a
+    4x2 dp-tp mesh (VERDICT r1 item 3): replicated moments forfeit TP memory
+    scaling and force per-step resharding against TP-sharded params."""
+    from jax.sharding import PartitionSpec as P
+
+    from mmvqa_tpu.core.mesh import make_mesh
+    from mmvqa_tpu.parallel.sharding import infer_param_shardings, place_state
+    from mmvqa_tpu.train.state import create_train_state
+
+    mesh = make_mesh(dp_size=4, tp_size=2, devices=jax.devices()[:8])
+    params = {
+        "feedforward_0": {"fc1": {"kernel": np.zeros((8, 16), np.float32),
+                                  "bias": np.zeros((16,), np.float32)},
+                          "fc2": {"kernel": np.zeros((16, 8), np.float32)}},
+        "norm1": {"scale": np.zeros((8,), np.float32)},
+        "bert_embedding": {"word_embeddings":
+                           {"embedding": np.zeros((30, 8), np.float32)}},
+    }
+    state = create_train_state({"params": params}, 1e-3)
+    placed = place_state(state, mesh)
+
+    p_sh = infer_param_shardings(params, mesh)
+    p_struct = jax.tree_util.tree_structure(params)
+
+    def params_like(x):
+        return jax.tree_util.tree_structure(x) == p_struct
+
+    subtrees = [
+        t
+        for t in jax.tree_util.tree_flatten(
+            placed.opt_state, is_leaf=params_like
+        )[0]
+        if params_like(t)
+    ]
+    assert len(subtrees) >= 2, "expected Adam mu and nu param-shaped subtrees"
+    for moments in subtrees:
+        jax.tree.map(
+            lambda x, s: (_ for _ in ()).throw(
+                AssertionError(f"{x.sharding} != {s}")
+            ) if x.sharding != s else None,
+            moments, p_sh,
+        )
+    # a TP-sharded moment really is distributed (local shard is half-width)
+    mu_fc1 = subtrees[0]["feedforward_0"]["fc1"]["kernel"]
+    assert mu_fc1.sharding.spec == P(None, "model")
+    assert mu_fc1.addressable_shards[0].data.shape == (8, 8)
