@@ -15,9 +15,15 @@ memory ONLY — ``self_attend = n > 1``, reference :163-172). The reference
 wrapper feeds embeddings straight through (token_emb bypassed, :260) and
 never applies the padding mask (mmbert.py:125-127); both preserved.
 
-Limitation vs reference: memory FIFO truncation (reference :309-310) is not
-implemented because with mem_len=256 and sequences of 75/28 tokens the FIFO
-never fills; longer sequences raise.
+FIFO truncation (reference :309-310 ``memory[:, -mem_len:]``): the fixed
+buffer holds ``min(mem_len, padded_T)`` entries oldest-first; when a window's
+append would overflow, the buffer rolls left by the overflow amount before
+the write, so slot index == the reference's relative key position and the
+same T5 bias/bucket math applies untouched.
+
+Dropout: the reference wires ``attn_dropout=0.1, ff_dropout=0.1``
+(mmbert.py:120-121), applied to the attention probabilities after softmax
+(:188-189) and between GEGLU and the FFN down-projection (:128-133).
 """
 
 from __future__ import annotations
@@ -54,15 +60,17 @@ class GEGLUFeedForward(nn.Module):
 
     dim: int
     mult: int = 4
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         h = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype, name="w_in")(x)
         val, gate = jnp.split(h, 2, axis=-1)
-        return nn.Dense(self.dim, dtype=self.dtype, name="w_out")(
-            nn.gelu(gate, approximate=False) * val
-        )
+        z = nn.gelu(gate, approximate=False) * val
+        # Dropout sits between GEGLU and the down-projection (:128-133)
+        z = nn.Dropout(self.dropout)(z, deterministic=deterministic)
+        return nn.Dense(self.dim, dtype=self.dtype, name="w_out")(z)
 
 
 class FeedbackSegment(nn.Module):
@@ -77,6 +85,10 @@ class FeedbackSegment(nn.Module):
     dim_head: int = 64
     num_buckets: int = 32
     max_distance: int = 128
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    deterministic: bool = True
+    can_overflow: bool = False  # static: True iff padded_T > buffer size
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -137,21 +149,38 @@ class FeedbackSegment(nn.Module):
             att = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(
                 x.dtype
             )
+            # attention-prob dropout (reference :188-189)
+            att = nn.Dropout(self.attn_dropout, name=f"attn_drop_{li}")(
+                att, deterministic=self.deterministic
+            )
             ctx = jnp.einsum("bhij,bhjd->bhid", att, vh)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, n, inner)
             x = x + nn.Dense(d, dtype=self.dtype, name=f"to_out_{li}")(ctx)
 
             y = nn.LayerNorm(dtype=self.dtype, name=f"ff_norm_{li}")(x)
-            x = x + GEGLUFeedForward(d, dtype=self.dtype, name=f"ff_{li}")(y)
+            x = x + GEGLUFeedForward(
+                d, dropout=self.ff_dropout, dtype=self.dtype, name=f"ff_{li}"
+            )(y, deterministic=self.deterministic)
             hiddens.append(x)
 
         # layer-weighted aggregate -> shared kv proj -> append to memory
         w = jax.nn.softmax(layer_weight)
         agg = jnp.einsum("l,lbnd->bnd", w, jnp.stack(hiddens))
         new_k, new_v = jnp.split(to_kv(agg), 2, axis=-1)
-        mem_k = jax.lax.dynamic_update_slice(mem_k, new_k, (0, count, 0))
-        mem_v = jax.lax.dynamic_update_slice(mem_v, new_v, (0, count, 0))
-        return (mem_k, mem_v, count + n_valid), x
+        if self.can_overflow:
+            # FIFO truncation (reference :309-310): roll the oldest entries
+            # out so valid slots stay [0, count) oldest-first, preserving
+            # slot index == relative key position for the T5 bias.
+            shift = jnp.maximum(count + n - M, 0)
+            mem_k = jnp.roll(mem_k, -shift, axis=1)
+            mem_v = jnp.roll(mem_v, -shift, axis=1)
+            write_at = count - shift
+        else:
+            shift = 0
+            write_at = count
+        mem_k = jax.lax.dynamic_update_slice(mem_k, new_k, (0, write_at, 0))
+        mem_v = jax.lax.dynamic_update_slice(mem_v, new_v, (0, write_at, 0))
+        return (mem_k, mem_v, count - shift + n_valid), x
 
 
 class FeedbackEncoder(nn.Module):
@@ -164,19 +193,19 @@ class FeedbackEncoder(nn.Module):
     mem_len: int = 256
     heads: int = 8
     dim_head: int = 64
+    # reference wiring hardwires 0.1/0.1 (mmbert.py:120-121)
+    attn_dropout: float = 0.1
+    ff_dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jax.Array, mask=None, deterministic: bool = True
     ) -> jax.Array:
-        del mask, deterministic  # reference passes neither (mmbert.py:125-127)
+        del mask  # reference never applies the padding mask (mmbert.py:125-127)
         B, T, d = x.shape
-        if T > self.mem_len:
-            raise NotImplementedError(
-                f"sequence {T} > mem_len {self.mem_len}: FIFO truncation "
-                "not implemented (never reached at reference lengths)"
-            )
+        if self.mem_len < self.seq_len:
+            raise ValueError("mem_len must be >= seq_len")
         n_seg = -(-T // self.seq_len)
         T_pad = n_seg * self.seq_len
         if T_pad != T:
@@ -185,7 +214,9 @@ class FeedbackEncoder(nn.Module):
             T - jnp.arange(n_seg) * self.seq_len, self.seq_len
         ).astype(jnp.int32)
 
-        mem_k = jnp.zeros((B, T_pad, self.heads * self.dim_head), self.dtype)
+        # the FIFO never holds more than mem_len entries (reference :309-310)
+        M = min(self.mem_len, T_pad)
+        mem_k = jnp.zeros((B, M, self.heads * self.dim_head), self.dtype)
         mem_v = jnp.zeros_like(mem_k)
         carry = (mem_k, mem_v, jnp.asarray(0, jnp.int32))
 
@@ -202,6 +233,10 @@ class FeedbackEncoder(nn.Module):
             n_layers=self.n_layers,
             heads=self.heads,
             dim_head=self.dim_head,
+            attn_dropout=self.attn_dropout,
+            ff_dropout=self.ff_dropout,
+            deterministic=deterministic,
+            can_overflow=T_pad > M,
             dtype=self.dtype,
             name="segment",
         )(carry, (segs, n_valid))

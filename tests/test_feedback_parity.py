@@ -46,9 +46,10 @@ def _bucket(rel, num_buckets=32, max_distance=128):
     return np.where(is_small, n, val_large)
 
 
-def _oracle(params, x, seq_len=2):
-    """Restates the reference forward (:257-312): window loop, memory FIFO,
-    shared kv, T5 bias, causal self mask, GEGLU FF, layer-weighted agg."""
+def _oracle(params, x, seq_len=2, mem_len=10**9):
+    """Restates the reference forward (:257-312): window loop, memory FIFO
+    with max-length truncation (:309-310), shared kv, T5 bias, causal self
+    mask, GEGLU FF, layer-weighted agg."""
     p = params["params"]["segment"]
     Wkv = np.asarray(p["shared_kv"]["kernel"])
     bias_table = np.asarray(p["rel_bias"]["embedding"])  # (buckets, heads)
@@ -111,6 +112,9 @@ def _oracle(params, x, seq_len=2):
         kv = agg @ Wkv
         mem_k = np.concatenate([mem_k, kv[..., :inner]], axis=1)
         mem_v = np.concatenate([mem_v, kv[..., inner:]], axis=1)
+        # enforce max length on memory buffer (reference :309-310)
+        mem_k = mem_k[:, -mem_len:]
+        mem_v = mem_v[:, -mem_len:]
         pos += n
     return np.concatenate(outputs, axis=1)
 
@@ -125,3 +129,42 @@ def test_feedback_matches_oracle(rng, T):
     got = np.asarray(enc.apply(params, jnp.asarray(x)))
     want = _oracle(params, x)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("T", [24, 23])  # T >> mem_len; odd adds remainder
+def test_feedback_fifo_truncation_matches_oracle(rng, T):
+    """T > mem_len exercises the rolling FIFO (reference :309-310)."""
+    mem_len = 8
+    x = rng.normal(size=(B, T, H_DIM)).astype(np.float32)
+    enc = FeedbackEncoder(
+        hidden_size=H_DIM, n_layers=LAYERS, heads=HEADS, dim_head=DHEAD,
+        mem_len=mem_len,
+    )
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(enc.apply(params, jnp.asarray(x)))
+    want = _oracle(params, x, mem_len=mem_len)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_feedback_dropout_active_when_not_deterministic(rng):
+    """attn/ff dropout (reference mmbert.py:120-121 wires 0.1/0.1) must
+    perturb the train-mode forward and be a no-op when deterministic."""
+    x = jnp.asarray(rng.normal(size=(B, 8, H_DIM)).astype(np.float32))
+    enc = FeedbackEncoder(
+        hidden_size=H_DIM, n_layers=LAYERS, heads=HEADS, dim_head=DHEAD
+    )
+    assert enc.attn_dropout == 0.1 and enc.ff_dropout == 0.1
+    params = enc.init(jax.random.PRNGKey(0), x)
+    det = np.asarray(enc.apply(params, x, deterministic=True))
+    det2 = np.asarray(enc.apply(params, x, deterministic=True))
+    np.testing.assert_array_equal(det, det2)
+    d1 = np.asarray(enc.apply(
+        params, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    ))
+    d2 = np.asarray(enc.apply(
+        params, x, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    ))
+    assert not np.allclose(det, d1)
+    assert not np.allclose(d1, d2)
