@@ -45,6 +45,26 @@ TINY_EFFNET_ARCH = tuple(
 )
 
 
+# Rematerialize the token heads in backward (backward recomputes conv+act
+# instead of saving the (B, H, W, hidden) map — 2.46 GB bf16 for stage 0 at
+# B=128). Measured on v5e at B=128: +2.5 ms/step with exact serf, within
+# noise (~1 ms) once FAST_SERF_BF16 landed — the recompute's VPU cost eats
+# the traffic saving. Kept OFF because the remat barrier makes XLA compile
+# the step differently under lax.scan vs standalone, breaking the
+# bit-for-bit super-step equivalence invariant (tests/test_multi_step.py).
+REMAT_TOKEN_HEAD = False
+
+
+def _conv_token_head(mdl, feat, idx, act_name):
+    """conv1x1 -> act -> GAP, in ``mdl``'s param scope (token_conv_<idx>)."""
+    proj = nn.Conv(
+        mdl.hidden_size, (1, 1), use_bias=False, dtype=mdl.dtype,
+        name=f"token_conv_{idx}",
+    )(feat)
+    act = serf if act_name == "serf" else nn.relu
+    return jnp.mean(act(proj), axis=(1, 2))
+
+
 class VisualTokenizer(nn.Module):
     cnn_encoder: str = "resnet152"
     num_vis: int = 5
@@ -62,19 +82,24 @@ class VisualTokenizer(nn.Module):
         'einsum' (matmul form), 'pallas' (streaming kernel that never
         materializes the (B, H, W, hidden) map, ops/pallas_token_head.py).
         Same-session A/B at B=128 bf16 full train step: conv 172.1 /
-        einsum 175.3 / pallas 177.1 ms — XLA overlaps the materialization
-        well, so the simplest form stays default. The einsum/pallas weight
-        keeps the (1, 1, K, C) conv-kernel shape so checkpoints are
-        layout-compatible across impls.
+        einsum 175.3 / pallas 177.1 ms. The projected map is a saved
+        backward residual (stage 0: 2.46 GB, ~31 ms/step across its 4
+        consumer fusions); nn.remat'ing it away measured within noise (see
+        REMAT_TOKEN_HEAD) — the dominant cost is the activation's VPU time,
+        addressed instead by ops.activations.FAST_SERF_BF16 (+15 ms/step).
+        The einsum/pallas weight keeps the (1, 1, K, C) conv-kernel shape so
+        checkpoints stay layout-compatible across impls.
         """
         act_name = "serf" if (always_serf or not self.use_relu) else "relu"
         if self.token_head_impl == "conv":
-            proj = nn.Conv(
-                self.hidden_size, (1, 1), use_bias=False, dtype=self.dtype,
-                name=f"token_conv_{idx}",
-            )(feat)
-            act = serf if act_name == "serf" else nn.relu
-            return jnp.mean(act(proj), axis=(1, 2))
+            if REMAT_TOKEN_HEAD:
+                head = nn.remat(
+                    _conv_token_head,
+                    static_argnums=(2, 3),
+                    policy=jax.checkpoint_policies.nothing_saveable,
+                )
+                return head(self, feat, idx, act_name)
+            return _conv_token_head(self, feat, idx, act_name)
         w = self.param(
             f"token_conv_{idx}",
             nn.initializers.lecun_normal(),

@@ -47,8 +47,8 @@ def _weighted_mean(per_sample, w):
     return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def _apply(model, state: TrainState, img, ids, seg, mask, rng, train: bool):
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+def _apply(model, params, batch_stats, img, ids, seg, mask, rng, train: bool):
+    variables = {"params": params, "batch_stats": batch_stats}
     if train:
         out, mut = model.apply(
             variables, img, ids, seg, mask,
@@ -57,7 +57,7 @@ def _apply(model, state: TrainState, img, ids, seg, mask, rng, train: bool):
         )
         return out, mut["batch_stats"]
     out = model.apply(variables, img, ids, seg, mask, deterministic=True)
-    return out, state.batch_stats
+    return out, batch_stats
 
 
 def _mlm_metrics(logits, labels, w):
@@ -65,6 +65,21 @@ def _mlm_metrics(logits, labels, w):
     masked = (labels > 0) & (w[:, None] > 0)
     correct = jnp.sum(jnp.where(masked, pred == labels, False))
     return correct, jnp.sum(masked)
+
+
+def _grad_norms(grads) -> dict:
+    """Per-top-level-module gradient L2 norms — the cheap device-side
+    equivalent of the reference's ``wandb.watch(model, log='all')``
+    (roco_train.py:80 logs per-parameter grad/weight histograms; here one
+    scalar per module group keeps the step fully compiled)."""
+    out = {}
+    for key, sub in grads.items():
+        sq = sum(
+            jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+            for leaf in jax.tree_util.tree_leaves(sub)
+        )
+        out[f"gnorm/{key}"] = jnp.sqrt(sq)
+    return out
 
 
 def make_multi_step(train_step_raw, steps_per_call: int):
@@ -121,7 +136,7 @@ def make_mlm_steps(
 
         def loss_fn(params):
             out, bstats = _apply(
-                model, state.replace(params=params), img,
+                model, params, state.batch_stats, img,
                 batch["tokens"], batch["segment_ids"], batch["input_mask"],
                 drop_rng, True,
             )
@@ -133,14 +148,17 @@ def make_mlm_steps(
         )(state.params)
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
         correct, total = _mlm_metrics(logits, batch["labels"], w)
-        return state, {"loss": loss, "correct": correct, "total": total}
+        metrics = {"loss": loss, "correct": correct, "total": total}
+        if cfg.watch:
+            metrics.update(_grad_norms(grads))
+        return state, metrics
 
     def eval_step(state: TrainState, batch):
         img = process_batch(batch["image"], jax.random.PRNGKey(0), aug, False)
         w = batch["weights"]
         out, _ = _apply(
-            model, state, img, batch["tokens"], batch["segment_ids"],
-            batch["input_mask"], None, False,
+            model, state.params, state.batch_stats, img, batch["tokens"],
+            batch["segment_ids"], batch["input_mask"], None, False,
         )
         loss = _weighted_token_nll(out, batch["labels"], w)
         correct, total = _mlm_metrics(out, batch["labels"], w)
@@ -168,7 +186,7 @@ def make_distill_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
 
         def loss_fn(params):
             out, bstats = _apply(
-                model, state.replace(params=params), img,
+                model, params, state.batch_stats, img,
                 batch["tokens"], batch["segment_ids"], batch["input_mask"],
                 drop_rng, True,
             )
@@ -190,8 +208,8 @@ def make_distill_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
     def eval_step(state: TrainState, batch):
         img = process_batch(batch["image"], jax.random.PRNGKey(0), aug, False)
         out, _ = _apply(
-            model, state, img, batch["tokens"], batch["segment_ids"],
-            batch["input_mask"], None, False,
+            model, state.params, state.batch_stats, img, batch["tokens"],
+            batch["segment_ids"], batch["input_mask"], None, False,
         )
         per_sample = jnp.mean(
             jnp.square(
@@ -231,7 +249,7 @@ def make_supcon_steps(
 
         def loss_fn(params):
             (logits, feat), bstats = _apply(
-                model, state.replace(params=params), img, ids, seg, mask,
+                model, params, state.batch_stats, img, ids, seg, mask,
                 drop_rng, True,
             )
             nll = _weighted_token_nll(logits, labels, w)
@@ -255,8 +273,8 @@ def make_supcon_steps(
         img = process_batch(batch["image"], jax.random.PRNGKey(0), aug, False)
         w = batch["weights"]
         (logits, _), _ = _apply(
-            model, state, img, batch["tokens"], batch["segment_ids"],
-            batch["input_mask"], None, False,
+            model, state.params, state.batch_stats, img, batch["tokens"],
+            batch["segment_ids"], batch["input_mask"], None, False,
         )
         loss = _weighted_token_nll(logits, batch["labels"], w)
         correct, total = _mlm_metrics(logits, batch["labels"], w)
@@ -331,7 +349,7 @@ def make_vqa_steps(
 
         def loss_fn(params):
             logits, bstats = _apply(
-                model, state.replace(params=params), img,
+                model, params, state.batch_stats, img,
                 batch["tokens"], batch["segment_ids"], batch["input_mask"],
                 drop_rng, True,
             )
@@ -350,8 +368,8 @@ def make_vqa_steps(
         w = batch["weights"]
         answers = batch["answer"].astype(jnp.int32)
         logits, _ = _apply(
-            model, state, img, batch["tokens"], batch["segment_ids"],
-            batch["input_mask"], None, False,
+            model, state.params, state.batch_stats, img, batch["tokens"],
+            batch["segment_ids"], batch["input_mask"], None, False,
         )
         loss = _weighted_mean(eval_criterion(logits, answers), w)
         return {"loss": loss, "preds": jnp.argmax(logits, axis=-1),

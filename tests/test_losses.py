@@ -41,6 +41,29 @@ def test_serf_matches_reference_formula(rng):
     np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=5e-4, atol=1e-5)
 
 
+def test_fast_serf_bf16_below_bf16_resolution():
+    """The bf16 fast path (sigmoid-gate polynomial, ops/activations.py) must
+    stay within 1.2e-3 of exact SERF everywhere — ~7x under bf16's ulp at
+    unit scale — and the f32 path must remain the exact formula."""
+    from mmvqa_tpu.ops.activations import _serf_fast
+
+    z = np.linspace(-40.0, 40.0, 200001).astype(np.float32)
+    exact = z * np.asarray(
+        torch.erf(torch.log1p(torch.exp(torch.clamp(t(z), max=50.0))))
+    )
+    fast = np.asarray(_serf_fast(jnp.asarray(z)))  # f32 in, f32 poly out
+    assert np.max(np.abs(fast - exact)) < 1.2e-3
+    # f32 serf() stays exact (no fast-path leak)
+    got32 = np.asarray(serf(jnp.asarray(z)))
+    np.testing.assert_allclose(got32, exact, rtol=5e-4, atol=1e-5)
+    # bf16 serf() output within bf16 round-off of the exact value
+    zb = jnp.asarray(z[::100], jnp.bfloat16)
+    gotb = np.asarray(serf(zb), np.float32)
+    exb = exact[::100]
+    # bound: bf16 input/output quantization (~0.4% rel) + 1.2e-3 fit error
+    assert np.all(np.abs(gotb - exb) <= np.maximum(np.abs(exb) * 1.6e-2, 2e-2))
+
+
 def test_gelu_matches_reference(rng):
     # transformer.py:7-8
     x = rng.normal(size=(33, 17)).astype(np.float32) * 3
