@@ -145,6 +145,9 @@ def vqa_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--num_vis", type=int, required=True)
     if not eval_only:
         p.add_argument("--wandb", action="store_false", default=True)
+        # wandb.watch(model, log='all') equivalent (roco_train.py:80):
+        # per-module grad-norm scalars from the train step into the sink
+        p.add_argument("--watch", action="store_true", default=False)
         p.add_argument("--save_model_epoch", type=int, default=4)
     p.add_argument("--task", type=str, default="MLM",
                    choices=["MLM", "distillation"])

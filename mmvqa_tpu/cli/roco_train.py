@@ -188,6 +188,8 @@ def main(argv: Optional[list] = None) -> None:
             "epoch": epoch,
             "train_items_per_sec": tm["items_per_sec"],
         }
+        # --watch: per-module grad norms (wandb.watch equivalent)
+        log.update({k: v for k, v in tm.items() if k.startswith("gnorm/")})
         if cfg.task == "MLM":
             log["epoch_train_acc"] = tm.get("acc")
             log["epoch_val_acc"] = vm.get("acc")

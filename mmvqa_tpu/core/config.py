@@ -96,6 +96,9 @@ class Config:
 
     # -- observability ----------------------------------------------------
     wandb: bool = True
+    # wandb.watch(model, log='all') equivalent (roco_train.py:80): log
+    # per-top-level-module gradient L2 norms from the train step
+    watch: bool = False
 
     # -- TPU-native additions (no reference equivalent, SURVEY.md §2.9) ----
     dp_size: int = -1            # data-parallel mesh size (-1 = all devices)

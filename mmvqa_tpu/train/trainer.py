@@ -55,8 +55,16 @@ def mlm_epoch(
     steps_per_call: int = 1,
 ) -> Tuple[object, Dict[str, float]]:
     losses, corrects, totals = [], [], []
+    gnorms: Dict[str, list] = {}
     n_items = 0
     t0 = time.time()
+
+    def note_gnorms(m, many=False):
+        for k, v in m.items():
+            if k.startswith("gnorm/"):
+                gnorms.setdefault(k, []).extend(
+                    list(v) if many else [v]
+                )
 
     def run_single(batch):
         nonlocal state, rng
@@ -67,6 +75,7 @@ def mlm_epoch(
         else:
             m = step_fn(state, placed)
         losses.append(m["loss"])
+        note_gnorms(m)
         if "correct" in m:
             corrects.append(m["correct"])
             totals.append(m["total"])
@@ -85,6 +94,7 @@ def mlm_epoch(
                 else:
                     m = multi_step_fn(state, stacked)
                 losses.extend(list(m["loss"]))
+                note_gnorms(m, many=True)
                 if "correct" in m:
                     corrects.extend(list(m["correct"]))
                     totals.extend(list(m["total"]))
@@ -102,6 +112,8 @@ def mlm_epoch(
         tot = float(np.sum([np.asarray(t) for t in totals]))
         cor = float(np.sum([np.asarray(c) for c in corrects]))
         metrics["acc"] = 100.0 * cor / max(tot, 1.0)
+    for k, vs in gnorms.items():
+        metrics[k] = _mean(vs)
     return state, metrics
 
 

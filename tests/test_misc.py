@@ -115,6 +115,91 @@ def test_tp_sharding_rules():
     assert sh["bert_embedding"]["word_embeddings"]["embedding"].spec == P("model")
 
 
+def test_metric_sink_wandb_forwarding(tmp_path, monkeypatch):
+    """Exercise the wandb branch against a fake module (the real package is
+    absent here): init kwargs, per-log forwarding, finish (VERDICT r1 #6)."""
+    import sys
+    import types
+
+    calls = {"init": [], "log": [], "finish": 0}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls["init"].append(kw)
+    fake.log = lambda metrics: calls["log"].append(metrics)
+    fake.finish = lambda: calls.__setitem__("finish", calls["finish"] + 1)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from mmvqa_tpu.utils.logging import MetricSink
+
+    sink = MetricSink("runx", str(tmp_path), use_wandb=True,
+                      config={"lr": 1e-3})
+    sink.log({"epoch_train_loss": 1.5, "epoch": 0})
+    sink.log({"epoch_train_loss": 1.2, "epoch": 1}, step=7)
+    sink.finish()
+
+    assert calls["init"] == [
+        {"project": "medvqa", "name": "runx", "config": {"lr": 1e-3}}
+    ]
+    assert [m["epoch"] for m in calls["log"]] == [0, 1]
+    assert calls["finish"] == 1
+    # JSONL written alongside, with the same keys (+ts/step)
+    import json
+    lines = [json.loads(l) for l in
+             open(tmp_path / "runx_metrics.jsonl").read().splitlines()]
+    assert lines[0]["epoch_train_loss"] == 1.5
+    assert lines[1]["step"] == 7
+
+    # wandb disabled: fake must not be touched
+    sink2 = MetricSink("runy", str(tmp_path), use_wandb=False)
+    sink2.log({"a": 1})
+    sink2.finish()
+    assert len(calls["init"]) == 1
+
+
+def test_watch_grad_norm_metrics():
+    """cfg.watch=True adds per-top-level-module gnorm/* scalars to the train
+    metrics and mlm_epoch aggregates them (wandb.watch equivalent)."""
+    import jax.numpy as jnp
+
+    from mmvqa_tpu.core.config import pretrain_config
+    from mmvqa_tpu.core.mesh import make_mesh
+    from mmvqa_tpu.models import MMBert
+    from mmvqa_tpu.train import create_train_state, make_mlm_steps, mlm_epoch
+
+    cfg = pretrain_config(
+        hidden_size=32, n_layers=1, heads=4, vocab_size=64,
+        max_position_embeddings=16, image_size=32, tiny_cnn=True,
+        batch_size=2, watch=True,
+    )
+    model = MMBert(cfg)
+    r = np.random.default_rng(0)
+    B, T, S = 2, 16, 32
+    batch = {
+        "image": r.integers(0, 255, (B, S, S, 3), dtype=np.uint8),
+        "tokens": r.integers(0, 64, (B, T)).astype(np.int32),
+        "segment_ids": np.zeros((B, T), np.int32),
+        "input_mask": np.ones((B, T), np.float32),
+        "labels": r.integers(0, 64, (B, T)).astype(np.int32),
+        "weights": np.ones((B,), np.float32),
+    }
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((B, S, S, 3)),
+        jnp.asarray(batch["tokens"]), jnp.asarray(batch["segment_ids"]),
+        jnp.asarray(batch["input_mask"]),
+    )
+    state = create_train_state(variables, 1e-3)
+    train_step, _ = make_mlm_steps(model, cfg)
+    state, m = train_step(state, batch, jax.random.PRNGKey(1))
+    gkeys = [k for k in m if k.startswith("gnorm/")]
+    assert "gnorm/bert_embedding" in gkeys and len(gkeys) >= 4
+    assert all(np.isfinite(float(m[k])) and float(m[k]) >= 0 for k in gkeys)
+
+    mesh = make_mesh(dp_size=1, tp_size=1, devices=jax.devices()[:1])
+    state, em = mlm_epoch(
+        train_step, state, [batch], mesh, jax.random.PRNGKey(2), True
+    )
+    assert any(k.startswith("gnorm/") for k in em)
+
+
 def test_place_state_tp_shards_optimizer_moments():
     """Adam mu/nu leaves must carry the SAME sharding as their params on a
     4x2 dp-tp mesh (VERDICT r1 item 3): replicated moments forfeit TP memory
