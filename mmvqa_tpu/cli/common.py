@@ -40,6 +40,10 @@ def add_tpu_flags(p: argparse.ArgumentParser) -> None:
                    help="HF bert state_dict to import as the embedding table")
     p.add_argument("--steps_per_call", type=int, default=8,
                    help="chain K train steps into one jit dispatch (scan)")
+    p.add_argument("--token_head", type=str, default="auto",
+                   choices=["auto", "conv", "einsum", "pallas"],
+                   help="visual-token head impl (auto = Pallas for the "
+                        "stage-0 map on a single TPU chip)")
 
 
 def pretrain_parser(supcon: bool = False) -> argparse.ArgumentParser:

@@ -109,7 +109,10 @@ class Config:
     profile_dir: str = ""        # jax.profiler trace output directory
     debug_nans: bool = False     # jax_debug_nans (SURVEY.md §5.2)
     steps_per_call: int = 8      # chain K steps into one jit dispatch
-    token_head: str = "conv"     # visual-token head impl (same-session A/B: conv 172.1 / einsum 175.3 / pallas 177.1 ms per step)
+    # visual-token head impl: 'auto' = fused Pallas kernel for the huge
+    # stage-0 map on a single TPU chip, conv elsewhere (same-session A/B:
+    # conv 151.9 / pallas-stage0 149.9 ms per step at B=128 bf16)
+    token_head: str = "auto"
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)

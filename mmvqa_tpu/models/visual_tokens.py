@@ -49,10 +49,16 @@ TINY_EFFNET_ARCH = tuple(
 # instead of saving the (B, H, W, hidden) map — 2.46 GB bf16 for stage 0 at
 # B=128). Measured on v5e at B=128: +2.5 ms/step with exact serf, within
 # noise (~1 ms) once FAST_SERF_BF16 landed — the recompute's VPU cost eats
-# the traffic saving. Kept OFF because the remat barrier makes XLA compile
-# the step differently under lax.scan vs standalone, breaking the
-# bit-for-bit super-step equivalence invariant (tests/test_multi_step.py).
+# the traffic saving. Kept OFF: the 'auto' Pallas route (below) solves the
+# same materialization without a remat barrier and measures faster.
 REMAT_TOKEN_HEAD = False
+
+# 'auto' token-head impl routes stages with H*W >= this to the Pallas
+# kernel. v5e same-process A/B (B=128, with streaming-LSE loss): conv
+# 151.9 / pallas stage0+1 150.6 / pallas stage0-only 149.9 ms — stage 0
+# (12544 positions) wins, deeper stages are a wash or lose (micro: stage1
+# 5.1 vs 5.1). See tools/perf.py / tools/bench_token_head.py.
+PALLAS_MIN_POSITIONS = 8192
 
 
 def _conv_token_head(mdl, feat, idx, act_name):
@@ -73,7 +79,24 @@ class VisualTokenizer(nn.Module):
     tiny: bool = False  # 1-block-per-stage trunks for tests/dryruns
     dtype: jnp.dtype = jnp.float32
 
-    token_head_impl: str = "conv"  # 'conv' | 'einsum' | 'pallas'
+    token_head_impl: str = "conv"  # 'conv' | 'einsum' | 'pallas' | 'auto'
+
+    def _resolve_impl(self, feat: jax.Array) -> str:
+        """'auto' routes the LARGE early-stage maps (H*W >=
+        PALLAS_MIN_POSITIONS) to the streaming Pallas kernel on a single
+        real TPU chip and everything else to the conv form. Deep stages
+        don't amortize the kernel's position-tile padding; multi-device
+        meshes keep the conv form so XLA owns the sharding."""
+        if self.token_head_impl != "auto":
+            return self.token_head_impl
+        try:
+            single_tpu = (
+                jax.devices()[0].platform == "tpu" and jax.device_count() == 1
+            )
+        except RuntimeError:
+            single_tpu = False
+        big = feat.shape[1] * feat.shape[2] >= PALLAS_MIN_POSITIONS
+        return "pallas" if (single_tpu and big) else "conv"
 
     def _token(self, feat: jax.Array, idx: int, always_serf: bool = False):
         """GAP(act(conv1x1(feat))) -> one hidden_size token.
@@ -91,7 +114,8 @@ class VisualTokenizer(nn.Module):
         checkpoints stay layout-compatible across impls.
         """
         act_name = "serf" if (always_serf or not self.use_relu) else "relu"
-        if self.token_head_impl == "conv":
+        impl = self._resolve_impl(feat)
+        if impl == "conv":
             if REMAT_TOKEN_HEAD:
                 head = nn.remat(
                     _conv_token_head,
@@ -107,10 +131,15 @@ class VisualTokenizer(nn.Module):
         )
         B, H, W, K = feat.shape
         x = feat.reshape(B, H * W, K)
-        if self.token_head_impl == "pallas":
+        if impl == "pallas":
+            from mmvqa_tpu.ops.activations import FAST_SERF_BF16
             from mmvqa_tpu.ops.pallas_token_head import fused_token_head
 
-            return fused_token_head(x, w[0, 0].astype(self.dtype), act_name)
+            kern_act = act_name
+            if (act_name == "serf" and FAST_SERF_BF16
+                    and self.dtype == jnp.bfloat16):
+                kern_act = "serf_fast"  # match the bf16 conv-path numerics
+            return fused_token_head(x, w[0, 0].astype(self.dtype), kern_act)
         from mmvqa_tpu.ops.pallas_token_head import token_head_reference
 
         return token_head_reference(x, w[0, 0].astype(self.dtype), act_name)

@@ -4,26 +4,38 @@ full-resolution intermediate.
 The reference's Transfer modules project each CNN stage to hidden_size with
 a 1x1 conv, apply SERF/ReLU, then global-average-pool
 (image_encoding.py:100-115). At stage 0 that materializes a
-(B, 112, 112, 768) tensor — 2.5 GB bf16 at B=128 — only to reduce it to
-(B, 768): profiled at ~30 ms/step of HBM traffic across stages on v5e.
+(B, 112, 112, 768) tensor — 2.5 GB bf16 at B=128 — whose fwd fusion, serf
+backward and dW/dx consumers profile at ~32 ms/step on v5e.
 
 Kernel design: inputs are fed CHANNEL-MAJOR (B, K, P) so the position axis
 rides the 128-lane dimension (K is as small as 24; a (P, K) layout pads
-every lane tile 5x). Each program computes s = W^T x_tile on the MXU (fp32),
-applies the activation on the VPU, and accumulates lane-wise partial sums in
-a VMEM scratch written back once per batch row. The custom VJP recomputes
-the projection per tile (dW, dx) instead of saving it.
+every lane tile 5x). Each program handles ROW_BLOCK batch rows x one
+position tile: s = W^T x on the MXU (fp32), activation on the VPU, and
+lane-wise partial sums accumulated in VMEM scratch written back once per
+row block. The custom VJP recomputes the projection per tile (dW, dx)
+instead of saving it.
+
+Measured kernel rules (v5e, B=128 stage-0 112x112x24):
+* NO position masking anywhere: position padding is zero-filled, and
+  serf(0) = relu(0) = 0 kills padded GAP/dW contributions exactly (dx at
+  padded columns is garbage and sliced off on return);
+* the partial-sum reduce is STATIC strided lane-slice adds — a
+  reshape(C, P//128, 128) + sum(axis=1) forces a cross-lane relayout;
+* the upstream grad enters pre-shaped (B, C, 1): transposing (1, C) to
+  (C, 1) inside the kernel is a sublane<->lane relayout per program;
+* ROW_BLOCK=4 batch rows per program amortize per-program overhead
+  (896 -> 224 programs at stage 0).
 
 erf inside kernels uses the Abramowitz & Stegun 7.1.26 rational
 approximation (max abs err 1.5e-7 — fp32-noise level) since Mosaic has no
-erf primitive.
+erf primitive; the bf16 path uses the FAST_SERF_BF16 sigmoid-gate
+polynomial ('serf_fast') matching ops.activations.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,11 +62,34 @@ def _erf_approx(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+def _p5(x):
+    from mmvqa_tpu.ops.activations import _SERF_P5
+
+    q = jnp.asarray(_SERF_P5[0], jnp.float32)
+    for c in _SERF_P5[1:]:
+        q = q * x + c
+    return q
+
+
+def _p5_prime(x):
+    from mmvqa_tpu.ops.activations import _SERF_P5
+
+    n = len(_SERF_P5) - 1  # degree
+    d = jnp.asarray(n * _SERF_P5[0], jnp.float32)
+    for i, c in enumerate(_SERF_P5[1:-1], start=1):
+        d = d * x + (n - i) * c
+    return d
+
+
 def _act(name: str, x, erf_fn=None):
     erf_fn = erf_fn or jax.lax.erf
     if name == "serf":
         y = jnp.log1p(jnp.exp(jnp.minimum(x, 50.0)))
         return x * erf_fn(y)
+    if name == "serf_fast":
+        # sigmoid-gate polynomial (ops.activations.FAST_SERF_BF16): matches
+        # the bf16 conv-path numerics, ~2.5x fewer VPU ops than exact serf
+        return x * jax.nn.sigmoid(_p5(x))
     return jnp.maximum(x, 0.0)  # relu
 
 
@@ -65,45 +100,56 @@ def _act_grad(name: str, x, erf_fn=None):
         erf_y = erf_fn(y)
         dy = jax.nn.sigmoid(x)
         return erf_y + x * (2.0 / math.sqrt(math.pi)) * jnp.exp(-y * y) * dy
+    if name == "serf_fast":
+        s = jax.nn.sigmoid(_p5(x))
+        return s + x * s * (1.0 - s) * _p5_prime(x)
     return (x > 0).astype(x.dtype)
 
 
 TILE_P = 2048
+ROW_BLOCK = 4
 
 
-def _pos_mask(t, shape, n_pos: int):
-    pos = t * TILE_P + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    return pos < n_pos
+def _lane_fold(a):
+    """(C, TILE_P) -> (C, 128) by summing static lane slices (no relayout)."""
+    parts = a[:, 0:128]
+    for i in range(1, a.shape[1] // 128):
+        parts = parts + a[:, i * 128:(i + 1) * 128]
+    return parts
 
 
 def _fwd_kernel(x_ref, w_ref, out_ref, acc_ref, *, act: str, n_pos: int,
-                n_tiles: int):
-    # blocks: x (1, K, TILE_P); w (K, C); out (1, 1, C); acc (C, 128) scratch
+                n_tiles: int, rb: int):
+    # blocks: x (rb, K, TILE_P); w (K, C); out (1, rb, C); acc (rb*C, 128)
     t = pl.program_id(1)
+    C = w_ref.shape[1]
 
     @pl.when(t == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    s = jax.lax.dot_general(  # (C, TILE_P) = (K, C)^T (K, TILE_P)
-        w_ref[:], x_ref[0],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    a = jnp.where(_pos_mask(t, s.shape, n_pos), _act(act, s, _erf_approx), 0.0)
-    C = a.shape[0]
-    acc_ref[:] = acc_ref[:] + jnp.sum(
-        a.reshape(C, TILE_P // 128, 128), axis=1
-    )
+    for r in range(rb):
+        s = jax.lax.dot_general(  # (C, TILE_P) = (K, C)^T (K, TILE_P)
+            w_ref[:], x_ref[r],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # padded positions hold x=0 => s=0 => act(s)=0: no mask needed
+        a = _act(act, s, _erf_approx)
+        acc_ref[r * C:(r + 1) * C, :] = (
+            acc_ref[r * C:(r + 1) * C, :] + _lane_fold(a)
+        )
 
     @pl.when(t == n_tiles - 1)
     def _():
-        total = jnp.sum(acc_ref[:], axis=1) / n_pos  # (C,)
-        out_ref[0] = total[None, :].astype(out_ref.dtype)
+        total = jnp.sum(
+            acc_ref[:].reshape(rb, C, 128), axis=2
+        ) / n_pos  # (rb, C)
+        out_ref[0] = total.astype(out_ref.dtype)
 
 
 def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, *, act: str,
-                n_pos: int, n_tiles: int):
+                n_pos: int, n_tiles: int, rb: int):
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -111,26 +157,36 @@ def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, *, act: str,
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    s = jax.lax.dot_general(  # (C, TILE_P)
-        w_ref[:], x_ref[0],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    g_col = jnp.transpose(g_ref[0]) / n_pos  # (C, 1)
-    gact = _act_grad(act, s, _erf_approx) * g_col
-    gact = jnp.where(_pos_mask(t, s.shape, n_pos), gact, 0.0)
-    # dx (K, TILE_P) = W (K, C) @ gact (C, TILE_P)
-    dx_ref[0] = jax.lax.dot_general(
-        w_ref[:].astype(jnp.float32), gact,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dx_ref.dtype)
-    # dW (K, C) += x (K, TILE_P) @ gact^T (TILE_P, C)
-    dw_ref[:] = dw_ref[:] + jax.lax.dot_general(
-        x_ref[0], gact,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dw = dw_ref[:]
+    for r in range(rb):
+        s = jax.lax.dot_general(  # (C, TILE_P)
+            w_ref[:], x_ref[r],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # g arrives pre-shaped (C, 1): broadcasts along lanes sublane-wise
+        gact = _act_grad(act, s, _erf_approx) * (g_ref[r] / n_pos)
+        # dx (K, TILE_P) = W (K, C) @ gact (C, TILE_P); padded columns give
+        # garbage that the caller slices off
+        dx_ref[r] = jax.lax.dot_general(
+            w_ref[:].astype(jnp.float32), gact,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dx_ref.dtype)
+        # dW (K, C) += x (K, TILE_P) @ gact^T; padded columns have x=0
+        dw = dw + jax.lax.dot_general(
+            x_ref[r], gact,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dw_ref[:] = dw
+
+
+def _row_block(B: int) -> int:
+    rb = ROW_BLOCK
+    while B % rb:
+        rb //= 2
+    return max(rb, 1)
 
 
 def _pad_positions_t(xt):
@@ -145,48 +201,50 @@ def _pad_positions_t(xt):
 def _fwd_call(x, w, act: str):
     B, P, K = x.shape
     C = w.shape[1]
+    rb = _row_block(B)
     xt, n_tiles, n_pos = _pad_positions_t(jnp.swapaxes(x, 1, 2))
     kernel = functools.partial(
-        _fwd_kernel, act=act, n_pos=n_pos, n_tiles=n_tiles
+        _fwd_kernel, act=act, n_pos=n_pos, n_tiles=n_tiles, rb=rb
     )
     out = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
+        grid=(B // rb, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, K, TILE_P), lambda b, t: (b, 0, t),
+            pl.BlockSpec((rb, K, TILE_P), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, C), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, rb, C), lambda b, t: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1, C), x.dtype),
-        scratch_shapes=[pltpu.VMEM((C, 128), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B // rb, rb, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((rb * C, 128), jnp.float32)],
         interpret=_interpret(),
     )(xt, w)
-    return out[:, 0]
+    return out.reshape(B, C)
 
 
 def _bwd_call(x, w, g, act: str):
     B, P, K = x.shape
     C = w.shape[1]
+    rb = _row_block(B)
     xt, n_tiles, n_pos = _pad_positions_t(jnp.swapaxes(x, 1, 2))
     kernel = functools.partial(
-        _bwd_kernel, act=act, n_pos=n_pos, n_tiles=n_tiles
+        _bwd_kernel, act=act, n_pos=n_pos, n_tiles=n_tiles, rb=rb
     )
     dxt, dw = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
+        grid=(B // rb, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, K, TILE_P), lambda b, t: (b, 0, t),
+            pl.BlockSpec((rb, K, TILE_P), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, C), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((rb, C, 1), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, K, TILE_P), lambda b, t: (b, 0, t),
+            pl.BlockSpec((rb, K, TILE_P), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, C), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -196,7 +254,7 @@ def _bwd_call(x, w, g, act: str):
             jax.ShapeDtypeStruct((K, C), jnp.float32),
         ),
         interpret=_interpret(),
-    )(xt, w, g.reshape(B, 1, C))
+    )(xt, w, g.reshape(B, C, 1))
     return jnp.swapaxes(dxt[:, :, :P], 1, 2), dw
 
 

@@ -33,12 +33,14 @@ from mmvqa_tpu.train.state import TrainState
 
 def _weighted_token_nll(logits, targets, w):
     """masked_mlm_nll with per-sample weights (padding-batch exact).
-    logsumexp form: never materializes the (B, T, V) log-prob tensor."""
-    logits32 = logits.astype(jnp.float32)
-    lse = jax.scipy.special.logsumexp(logits32, axis=-1)
+    streaming_lse form: never materializes any (B, T, V) fp32 tensor
+    (ops/losses.py::streaming_lse)."""
+    from mmvqa_tpu.ops.losses import streaming_lse
+
+    lse = streaming_lse(logits)
     picked = jnp.take_along_axis(
-        logits32, targets[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+        logits, targets[..., None].astype(jnp.int32), axis=-1
+    )[..., 0].astype(jnp.float32)
     per_sample = jnp.mean(lse - picked, axis=-1)
     return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
 

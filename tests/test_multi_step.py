@@ -1,6 +1,13 @@
 """Super-stepping equivalence: make_multi_step / make_multi_eval_step must
-produce bit-identical states and metrics to running the same steps
-sequentially with the same keys (tiny model, CPU)."""
+produce the same states and metrics as running the same steps sequentially
+with the same keys (tiny model, CPU).
+
+Tolerance note: equality is pinned to fp32 REDUCTION-ORDER noise (rtol
+2e-5), not bit-exactness — the MLM loss is a fused streaming logsumexp
+(ops/losses.py::streaming_lse) whose vocab-axis accumulation order may tile
+differently between the scanned and standalone compilations. The failure
+modes this test exists to catch (mis-threaded rng keys, off-by-one batch
+slicing, carried-state corruption) produce O(1e-1) divergence."""
 
 import numpy as np
 import pytest
@@ -73,10 +80,10 @@ def test_multi_train_step_equals_sequential(setup):
     state2, m = multi(state2, stacked, rng)
     multi_losses = [float(x) for x in m["loss"]]
 
-    np.testing.assert_allclose(multi_losses, seq_losses, rtol=1e-6)
+    np.testing.assert_allclose(multi_losses, seq_losses, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(
-        np.asarray(jax.tree.leaves(state2.params)[0]), seq_leaf, rtol=1e-6,
-        atol=1e-7,
+        np.asarray(jax.tree.leaves(state2.params)[0]), seq_leaf,
+        rtol=2e-5, atol=1e-6,
     )
     assert int(state2.step) == K
 
@@ -94,4 +101,4 @@ def test_multi_eval_step_equals_sequential(setup):
     multi = make_multi_eval_step(eval_raw, K)
     stacked = {k: jnp.asarray(v) for k, v in batches.items()}
     m = multi(state, stacked)
-    np.testing.assert_allclose([float(x) for x in m["loss"]], seq, rtol=1e-6)
+    np.testing.assert_allclose([float(x) for x in m["loss"]], seq, rtol=2e-5, atol=2e-5)
