@@ -25,6 +25,9 @@ def add_tpu_flags(p: argparse.ArgumentParser) -> None:
                    help="data-parallel mesh size (-1 = all devices)")
     p.add_argument("--tp_size", type=int, default=1,
                    help="tensor-parallel mesh size")
+    p.add_argument("--cp_size", type=int, default=1,
+                   help="context(sequence)-parallel mesh size (no-op at the "
+                        "reference sequence lengths; shards the token axis)")
     p.add_argument("--cache_images", action="store_true", default=False,
                    help="cache decoded images in RAM")
     p.add_argument("--profile_dir", type=str, default="",
@@ -191,7 +194,7 @@ def setup_runtime(cfg: Config):
 
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    mesh_spec = make_mesh(cfg.dp_size, cfg.tp_size)
+    mesh_spec = make_mesh(cfg.dp_size, cfg.tp_size, cfg.cp_size)
     dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     return mesh_spec, dtype
 

@@ -103,6 +103,7 @@ class Config:
     # -- TPU-native additions (no reference equivalent, SURVEY.md §2.9) ----
     dp_size: int = -1            # data-parallel mesh size (-1 = all devices)
     tp_size: int = 1             # tensor-parallel mesh size
+    cp_size: int = 1             # context(sequence)-parallel mesh size (§5.7)
     host_augment: bool = False   # force host-side augmentation (debug)
     tiny_cnn: bool = False       # 1-block-per-stage CNN trunks (tests/dryruns)
     donate: bool = True          # donate train-state buffers to the jit step

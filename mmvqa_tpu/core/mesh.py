@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+CONTEXT_AXIS = "context"
 
 
 @dataclass(frozen=True)
@@ -31,6 +32,10 @@ class MeshSpec:
     @property
     def model_size(self) -> int:
         return self.mesh.shape[MODEL_AXIS]
+
+    @property
+    def context_size(self) -> int:
+        return self.mesh.shape.get(CONTEXT_AXIS, 1)
 
     def batch_sharding(self) -> NamedSharding:
         """Batch tensors: sharded on the leading (batch) dim over 'data'."""
@@ -46,25 +51,38 @@ class MeshSpec:
 def make_mesh(
     dp_size: int = -1,
     tp_size: int = 1,
+    cp_size: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> MeshSpec:
-    """Build a ('data', 'model') mesh.
+    """Build a ('data', 'model', 'context') mesh.
 
-    ``dp_size=-1`` uses every device not claimed by tensor parallelism.
-    On a single chip this degenerates to a 1x1 mesh, so the same jit'd
-    train step runs unchanged from one chip to a full slice.
+    ``dp_size=-1`` uses every device not claimed by tensor/context
+    parallelism. On a single chip this degenerates to a 1x1x1 mesh, so the
+    same jit'd train step runs unchanged from one chip to a full slice.
+
+    The 'context' axis is the sequence-parallel hook promised by SURVEY.md
+    §5.7: at the reference's sequence lengths (75/28) it stays size 1 (a
+    strict no-op); with cp_size>1 ``place_batch`` shards the token axis over
+    it and GSPMD inserts the attention gathers. Ring/blockwise attention can
+    later specialize the same axis without any API change.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if tp_size <= 0:
         tp_size = 1
+    if cp_size <= 0:
+        cp_size = 1
     if dp_size == -1:
-        if n % tp_size != 0:
-            raise ValueError(f"{n} devices not divisible by tp_size={tp_size}")
-        dp_size = n // tp_size
-    if dp_size * tp_size != n:
+        if n % (tp_size * cp_size) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by tp_size*cp_size="
+                f"{tp_size * cp_size}"
+            )
+        dp_size = n // (tp_size * cp_size)
+    if dp_size * tp_size * cp_size != n:
         raise ValueError(
-            f"dp_size*tp_size = {dp_size * tp_size} != device count {n}"
+            f"dp_size*tp_size*cp_size = {dp_size * tp_size * cp_size} "
+            f"!= device count {n}"
         )
-    arr = np.asarray(devices).reshape(dp_size, tp_size)
-    return MeshSpec(mesh=Mesh(arr, (DATA_AXIS, MODEL_AXIS)))
+    arr = np.asarray(devices).reshape(dp_size, tp_size, cp_size)
+    return MeshSpec(mesh=Mesh(arr, (DATA_AXIS, MODEL_AXIS, CONTEXT_AXIS)))

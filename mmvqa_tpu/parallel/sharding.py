@@ -116,20 +116,34 @@ def place_state(state, mesh_spec: MeshSpec):
     )
 
 
+# Sequence-shaped batch fields (B, T): with context parallelism (cp>1) the
+# token axis is sharded over 'context' and GSPMD inserts the attention
+# gathers (SURVEY.md §5.7). Everything else shards the batch dim only.
+SEQUENCE_KEYS = frozenset(
+    ("tokens", "aug_tokens", "segment_ids", "input_mask", "labels",
+     "aug_labels")
+)
+
+
 def place_batch(batch: dict, mesh_spec: MeshSpec, stacked: bool = False) -> dict:
-    """Shard array fields on the batch dim over 'data'. ``stacked=True`` for
+    """Shard array fields on the batch dim over 'data' (and the token axis
+    over 'context' when the mesh has cp>1). ``stacked=True`` for
     (steps, batch, ...) super-step inputs — the batch dim is axis 1."""
     from jax.sharding import PartitionSpec as P
 
-    sh = (
-        NamedSharding(mesh_spec.mesh, P(None, "data"))
-        if stacked
-        else mesh_spec.batch_sharding()
+    lead = (None, "data") if stacked else ("data",)
+    sh = NamedSharding(mesh_spec.mesh, P(*lead))
+    seq_sh = (
+        NamedSharding(mesh_spec.mesh, P(*lead, "context"))
+        if mesh_spec.context_size > 1
+        else sh
     )
     out = {}
     for k, v in batch.items():
         if isinstance(v, (list, str)):
             out[k] = v
         else:
-            out[k] = jax.device_put(np.asarray(v), sh)
+            out[k] = jax.device_put(
+                np.asarray(v), seq_sh if k in SEQUENCE_KEYS else sh
+            )
     return out
