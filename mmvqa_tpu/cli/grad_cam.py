@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["gradcam", "gradcam++", "xgradcam", "eigencam",
                             "scorecam", "ablationcam"],
                    help="CAM variant (reference grad_cam.py:65-72 zoo)")
+    p.add_argument("--cnn_only", action="store_true", default=False,
+                   help="question-independent CAM over the standalone "
+                        "fine-tuned CNN trunk (reference grad_cam.py's "
+                        "classifier-stripped timm model, :112-133)")
     return p
 
 
@@ -106,7 +110,53 @@ def main(argv: Optional[list] = None) -> None:
         "params": loaded["params"], "batch_stats": loaded["batch_stats"]
     }
 
-    if args.method == "gradcam":
+    if args.cnn_only:
+        from mmvqa_tpu.explain import CAM_METHODS
+        from mmvqa_tpu.explain.cam_zoo import ablation_cam, score_cam
+        from mmvqa_tpu.explain.gradcam import cnn_only_activations
+
+        acts, grads, pooled, target = cnn_only_activations(
+            model, variables, img
+        )
+        logits = pooled  # the stripped-classifier "scores" (feature GAP)
+        # score_fn/rerun_fn MUST be jitted: unjitted model.apply dispatches
+        # op-by-op, pathological through the axon tunnel (~27 ms/op)
+        if args.method == "scorecam":
+            @jax.jit
+            def score_jit(vs, masked_imgs):
+                def trunk(m, im):
+                    return m.trans(im, train=False)
+
+                _, fts = model.apply(vs, masked_imgs, method=trunk)
+                deepest = (fts[-1] if "efficientnetv2" in cfg.cnn_encoder
+                           else fts[0])
+                return jnp.mean(deepest, axis=(1, 2))[:, target]
+
+            heat = np.asarray(
+                score_cam(acts, img, lambda m: score_jit(variables, m))
+            )[0]
+        elif args.method == "ablationcam":
+            @jax.jit
+            def rerun_jit(vs, ablated):
+                def trunk(m, im, perturb=None):
+                    return m.trans(im, train=False, perturb=perturb)
+
+                _, fts = model.apply(vs, img, method=trunk,
+                                     perturb=ablated - acts)
+                deepest = (fts[-1] if "efficientnetv2" in cfg.cnn_encoder
+                           else fts[0])
+                return jnp.mean(deepest, axis=(1, 2))[:, target]
+
+            heat = np.asarray(
+                ablation_cam(acts, lambda a: rerun_jit(variables, a),
+                             pooled[:1, target])
+            )[0]
+        elif args.method == "eigencam":
+            heat = np.asarray(CAM_METHODS["eigencam"](acts))[0]
+        else:
+            name = "gradcam" if args.method == "gradcam" else args.method
+            heat = np.asarray(CAM_METHODS[name](acts, grads))[0]
+    elif args.method == "gradcam":
         heat, logits = grad_cam_heatmap(
             model, variables, img, ids, seg, mask, answer
         )
@@ -117,25 +167,34 @@ def main(argv: Optional[list] = None) -> None:
         acts, grads, logits = grad_cam_activations(
             model, variables, img, ids, seg, mask, answer
         )
+        # score_fn/rerun_fn MUST be jitted: unjitted model.apply dispatches
+        # op-by-op, pathological through the axon tunnel (~27 ms/op)
         if args.method == "scorecam":
-            def score_fn(masked_imgs):
-                lg = model.apply(variables, masked_imgs,
+            @jax.jit
+            def score_jit(vs, masked_imgs):
+                lg = model.apply(vs, masked_imgs,
                                  jnp.repeat(ids, masked_imgs.shape[0], 0),
                                  jnp.repeat(seg, masked_imgs.shape[0], 0),
                                  jnp.repeat(mask, masked_imgs.shape[0], 0))
                 return lg[:, answer]
 
-            heat = np.asarray(score_cam(acts, img, score_fn))[0]
+            heat = np.asarray(
+                score_cam(acts, img, lambda m: score_jit(variables, m))
+            )[0]
         elif args.method == "ablationcam":
             base = logits[0, answer]
 
-            def rerun_fn(ablated):
+            @jax.jit
+            def rerun_jit(vs, ablated):
                 lg, _ = model.apply(
-                    variables, img, ids, seg, mask,
+                    vs, img, ids, seg, mask,
                     method=type(model).features_and_logits,
                     perturb=ablated - acts,
                 )
                 return lg[:, answer]
+
+            def rerun_fn(ablated):
+                return rerun_jit(variables, ablated)
 
             heat = np.asarray(
                 ablation_cam(acts, rerun_fn, jnp.asarray([base]))
@@ -152,10 +211,13 @@ def main(argv: Optional[list] = None) -> None:
     out_path = os.path.join(args.save_dir, f"{args.category}_{args.vqa_img}")
     Image.fromarray(overlay).save(out_path)
 
-    pred = int(np.argmax(logits[0]))
     print("question: ", question)
     print("answer: ", answer, idx2ans[answer])
-    print("preds:", pred, idx2ans[pred])
+    if args.cnn_only:
+        print("target feature channel:", int(np.argmax(logits[0])))
+    else:
+        pred = int(np.argmax(logits[0]))
+        print("preds:", pred, idx2ans[pred])
     print("saved:", out_path)
 
 

@@ -114,12 +114,17 @@ def ablation_cam(
     perturb = -acts_c to zero a channel).
     """
     B, h, w, C = acts.shape
-    weights = []
-    for c in range(C):
-        abl = acts.at[..., c].set(0.0)
-        weights.append((base_score - rerun_fn(abl)) / (base_score + 1e-8))
-    w = jnp.stack(weights, axis=1)  # (B, C)
-    return _normalize(jnp.einsum("bhwc,bc->bhw", acts, w))
+
+    def one(c):
+        # zero channel c with a traced index (at[..., c] needs a static one)
+        keep = (jnp.arange(C) != c).astype(acts.dtype)
+        return (base_score - rerun_fn(acts * keep)) / (base_score + 1e-8)
+
+    # lax.map: the C model re-runs compile ONCE and execute as a single
+    # dispatch (vmapped `chunk` at a time) — a eager Python loop costs
+    # seconds per re-run through the axon tunnel
+    w_ = jax.lax.map(one, jnp.arange(C), batch_size=min(chunk, C))  # (C, B)
+    return _normalize(jnp.einsum("bhwc,bc->bhw", acts, w_.T))
 
 
 CAM_METHODS = {

@@ -29,24 +29,79 @@ def grad_cam_activations(
     answer: int,
 ):
     """Returns (activations (B,h,w,C), grads (B,h,w,C), logits (B,classes))
-    at the deepest tapped CNN map — inputs for any CAM-zoo method."""
-    logits, feats = model.apply(
-        variables, img, input_ids, segment_ids, input_mask,
-        method=type(model).features_and_logits,
-    )
-    deepest = feats[-1] if "efficientnetv2" in model.cfg.cnn_encoder else feats[0]
+    at the deepest tapped CNN map — inputs for any CAM-zoo method.
 
-    def f(eps):
-        lg, _ = model.apply(
-            variables, img, input_ids, segment_ids, input_mask,
-            method=type(model).features_and_logits, perturb=eps,
+    The whole fwd+grad runs under ONE jit: eager full-model apply dispatches
+    op-by-op, pathological through the axon tunnel (~27 ms/op)."""
+    is_effnet = "efficientnetv2" in model.cfg.cnn_encoder
+
+    @jax.jit
+    def run(vs, im, ids, seg, mask):
+        _, feats = model.apply(
+            vs, im, ids, seg, mask, method=type(model).features_and_logits,
         )
-        return lg[0, answer], lg
+        deepest = feats[-1] if is_effnet else feats[0]
 
-    (_, lg), grads = jax.value_and_grad(f, has_aux=True)(
-        jnp.zeros_like(deepest)
-    )
-    return deepest, grads, lg
+        def f(eps):
+            lg, _ = model.apply(
+                vs, im, ids, seg, mask,
+                method=type(model).features_and_logits, perturb=eps,
+            )
+            return lg[0, answer], lg
+
+        (_, lg), grads = jax.value_and_grad(f, has_aux=True)(
+            jnp.zeros_like(deepest)
+        )
+        return deepest, grads, lg
+
+    return run(variables, img, input_ids, segment_ids, input_mask)
+
+
+def cnn_only_activations(model, variables, img: jax.Array):
+    """CNN-only CAM inputs — the reference's library-CAM path
+    (grad_cam.py:112-133): the fine-tuned EfficientNetV2 weights are copied
+    into a STANDALONE timm model with the classifier stripped, so the CAM is
+    question-independent and the "score" it explains is the dominant pooled
+    feature. Here the fine-tuned trunk runs standalone the same way; since
+    the MMBert path carries no timm conv_head/classifier weights to surgery
+    back (documented deviation), the score is the argmax channel of the
+    GAP'd deepest tap.
+
+    Returns (activations, grads, pooled (B, C), target_channel).
+    """
+
+    def trunk(m, im, perturb=None):
+        return m.trans(im, train=False, perturb=perturb)
+
+    is_effnet = "efficientnetv2" in model.cfg.cnn_encoder
+
+    def deepest_of(feats):
+        return feats[-1] if is_effnet else feats[0]
+
+    # two jits (the target channel is picked on host between them) — eager
+    # full-trunk applies are pathological through the axon tunnel
+    @jax.jit
+    def fwd(vs, im):
+        _, feats = model.apply(vs, im, method=trunk)
+        return deepest_of(feats)
+
+    deepest = fwd(variables, img)
+    pooled0 = jnp.mean(deepest, axis=(1, 2))  # (B, C)
+    target = int(jnp.argmax(pooled0[0]))
+
+    @jax.jit
+    def grad_run(vs, im):
+        def f(eps):
+            _, fts = model.apply(vs, im, method=trunk, perturb=eps)
+            pooled = jnp.mean(deepest_of(fts), axis=(1, 2))
+            return pooled[0, target], pooled
+
+        return jax.value_and_grad(f, has_aux=True)(
+            jnp.zeros(deepest.shape, deepest.dtype)
+        )
+
+    (_, pooled), grads = grad_run(variables, img)
+    return deepest, grads, pooled, target
 
 
 def grad_cam_heatmap(
