@@ -114,6 +114,12 @@ class Config:
     # stage-0 map on a single TPU chip, conv elsewhere (same-session A/B:
     # conv 151.9 / pallas-stage0 149.9 ms per step at B=128 bf16)
     token_head: str = "auto"
+    # When set, overrides EVERY dropout rate in the model (embeddings 0.1,
+    # RealFormer dp1/dp2 0.1, Feedback attn/ff 0.1, BertEncoder
+    # hidden_dropout_prob). Used by the offline trajectory-parity harness
+    # (tests/test_trajectory_parity.py) to run the real train step
+    # deterministically; None keeps the reference rates.
+    dropout_override: Optional[float] = None
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -42,10 +42,17 @@ class MMBert(nn.Module):
 
     def setup(self):
         cfg = self.cfg
+
+        def _dp(rate: float) -> float:
+            """Reference dropout rate, unless cfg.dropout_override pins all
+            rates (trajectory-parity harness)."""
+            return rate if cfg.dropout_override is None else cfg.dropout_override
+
         self.bert_embedding = BertEmbeddings(
             vocab_size=cfg.vocab_size,
             hidden_size=cfg.hidden_size,
             type_vocab_size=cfg.type_vocab_size,
+            dropout_rate=_dp(0.1),
             dtype=self.dtype,
         )
         self.trans = VisualTokenizer(
@@ -61,6 +68,8 @@ class MMBert(nn.Module):
             self.encoder = FeedbackEncoder(
                 hidden_size=cfg.hidden_size,
                 n_layers=cfg.n_layers,
+                attn_dropout=_dp(0.1),
+                ff_dropout=_dp(0.1),
                 dtype=self.dtype,
             )
         elif "realformer" in cfg.transformer_model:
@@ -68,6 +77,8 @@ class MMBert(nn.Module):
                 hidden_size=cfg.hidden_size,
                 n_layers=cfg.n_layers,
                 head_cnt=8,  # mmbert.py:100
+                dp1=_dp(0.1),
+                dp2=_dp(0.1),
                 dtype=self.dtype,
             )
         elif "transformer" in cfg.transformer_model:
@@ -75,7 +86,7 @@ class MMBert(nn.Module):
                 hidden_size=cfg.hidden_size,
                 n_layers=cfg.n_layers,
                 n_heads=cfg.heads,
-                dropout_rate=cfg.hidden_dropout_prob,
+                dropout_rate=_dp(cfg.hidden_dropout_prob),
                 share="none",
                 norm_pos="pre",  # mmbert.py:87
                 dtype=self.dtype,
