@@ -33,6 +33,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from mmvqa_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mmvqa_tpu.core.config import pretrain_config
     from mmvqa_tpu.data.images import PRETRAIN_AUG, process_batch
     from mmvqa_tpu.models import MMBert

@@ -190,8 +190,10 @@ def setup_runtime(cfg: Config):
     import jax
     import jax.numpy as jnp
 
+    from mmvqa_tpu.core.cache import enable_compilation_cache
     from mmvqa_tpu.core.mesh import make_mesh
 
+    enable_compilation_cache()
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     mesh_spec = make_mesh(cfg.dp_size, cfg.tp_size, cfg.cp_size)

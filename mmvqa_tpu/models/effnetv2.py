@@ -42,10 +42,18 @@ V2_M_STEM = 24
 FIVE_TAP_STAGES = (0, 1, 2, 4, 6)
 
 
+# Probe knob (tools/perf.py): False computes BN batch statistics in the
+# compute dtype (bf16) instead of forcing fp32 reductions — measures the
+# upper bound of the per-block stat-reduce/cast bucket. NOT for training:
+# bf16 accumulation over B*H*W elements loses the mean precision.
+BN_F32_STATS = True
+
+
 def _bn(train: bool, dtype, name: str) -> nn.BatchNorm:
     return nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-3,
         dtype=dtype, name=name,
+        force_float32_reductions=BN_F32_STATS,
     )
 
 

@@ -85,10 +85,15 @@ def create_train_state(
     tx = make_optimizer(lr, clip)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    # ONE jitted program for the whole optimizer-state init: eagerly,
+    # optax's per-leaf jnp.zeros_like each compile a tiny broadcast
+    # program (~0.4 s per UNIQUE SHAPE through the remote-device tunnel —
+    # minutes across the ~500 param leaves)
+    opt_state = jax.jit(tx.init)(params)
     return TrainState(
         step=jnp.asarray(0, jnp.int32),
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         tx=tx,
     )

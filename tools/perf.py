@@ -49,6 +49,10 @@ def build_run(overrides: dict, batch: int, steps: int):
     import jax
     import jax.numpy as jnp
 
+    from mmvqa_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mmvqa_tpu.core.config import pretrain_config
     from mmvqa_tpu.data.images import PRETRAIN_AUG, process_batch
     from mmvqa_tpu.models import MMBert
@@ -58,11 +62,17 @@ def build_run(overrides: dict, batch: int, steps: int):
     overrides = dict(overrides)
     opt = overrides.pop("opt", "adam")  # probe knob: 'adam' | 'sgd'
     unroll = overrides.pop("unroll", False)  # probe: python-unrolled steps
+    batch = int(overrides.pop("batch", batch))  # per-variant batch size
     pallas_min_p = overrides.pop("pallas_min_p", None)
     if pallas_min_p is not None:
         from mmvqa_tpu.models import visual_tokens
 
         visual_tokens.PALLAS_MIN_POSITIONS = int(pallas_min_p)
+    bn_f32 = overrides.pop("bn_f32_stats", None)
+    if bn_f32 is not None:
+        from mmvqa_tpu.models import effnetv2
+
+        effnetv2.BN_F32_STATS = bool(bn_f32)
 
     cfg = pretrain_config(
         cnn_encoder="tf_efficientnetv2_m",
@@ -137,7 +147,7 @@ def build_run(overrides: dict, batch: int, steps: int):
             keys = jax.random.split(key, steps)
             return jax.lax.scan(one_step, state, keys)
 
-    return run, state
+    return run, state, batch
 
 
 def time_variant(run, state, steps: int, reps: int = 2):
@@ -171,12 +181,12 @@ def main() -> None:
     if len(specs) > 1:
         specs.append(specs[0])  # drift check: re-time the first variant last
     for i, spec in enumerate(specs):
-        run, state = build_run(parse_variant(spec), args.batch, args.steps)
+        run, state, vb = build_run(parse_variant(spec), args.batch, args.steps)
         ms, times = time_variant(run, state, args.steps, args.reps)
         tag = spec + (" [drift-check]" if i == len(specs) - 1 and i > 0 else "")
         print(json.dumps({"variant": tag, "ms_per_step": round(ms, 2),
                           "all": [round(t, 2) for t in times],
-                          "img_per_sec": round(args.batch / ms * 1e3, 1)}),
+                          "img_per_sec": round(vb / ms * 1e3, 1)}),
               flush=True)
         results.append((tag, ms))
         if i == 0 and args.profile:
