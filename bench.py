@@ -26,7 +26,11 @@ import numpy as np
 
 A100_BASELINE_IMG_PER_SEC = 400.0
 BATCH = 128
-STEPS = 10
+# Dispatch+sync through the remote-device tunnel costs ~83 ms per jit CALL
+# (measured: 149.1/143.6/142.3 ms-per-step at K=10/30/60 — perfect o/K fit,
+# asymptote ~140.8); K=60 leaves <1.5 ms/step of it. Drivers super-step the
+# same way (--steps_per_call).
+STEPS = 60
 
 
 def main() -> None:

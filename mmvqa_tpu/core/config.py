@@ -109,7 +109,11 @@ class Config:
     donate: bool = True          # donate train-state buffers to the jit step
     profile_dir: str = ""        # jax.profiler trace output directory
     debug_nans: bool = False     # jax_debug_nans (SURVEY.md §5.2)
-    steps_per_call: int = 8      # chain K steps into one jit dispatch
+    # chain K steps into one jit dispatch: per-call dispatch+sync costs
+    # ~83 ms through the remote-device tunnel (A/B: 149.1 -> 143.6 -> 142.3
+    # ms/step at K=10/30/60, B=128); 32 amortizes it to ~2.6 ms while
+    # keeping metric cadence reasonable
+    steps_per_call: int = 32
     # visual-token head impl: 'auto' = fused Pallas kernel for the huge
     # stage-0 map on a single TPU chip, conv elsewhere (same-session A/B:
     # conv 151.9 / pallas-stage0 149.9 ms per step at B=128 bf16)

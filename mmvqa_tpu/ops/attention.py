@@ -13,8 +13,11 @@ Two flavors, matching the reference's two encoders bit-for-bit at fp32:
   weights are unaffected by padding; only the carried score tensor changes.
 
 Both run through a single fused Pallas kernel on TPU (``impl='pallas'``)
-or a pure-XLA path (``impl='xla'``); ``impl='auto'`` picks Pallas on TPU
-when shapes are supported. Numerics are tested to agree.
+or a pure-XLA path (``impl='xla'``); ``impl='auto'`` resolves to XLA at the
+reference's shapes (see ``_pick_impl`` — the Pallas kernel is explicitly
+EXPERIMENTAL here: it loses at T=75, where the (B,H,T,T) probability tensor
+is only ~23 MB and XLA's batched matmuls already saturate the MXU; its
+fused form pays off only at long sequence). Numerics are tested to agree.
 """
 
 from __future__ import annotations
