@@ -91,10 +91,13 @@ class TorchRealFormerBlock(nn.Module):
 
 class TorchTrajModel(nn.Module):
     """Reference Model (mmbert.py:129-167) restated at tiny scale: CNN
-    5-tap token heads, CLS-overwrite fusion, RealFormer stack, MLM head."""
+    5-tap token heads, CLS-overwrite fusion, RealFormer stack, then either
+    the per-token MLM head or (``vqa_classes>0``) the masked-mean-pool VQA
+    classifier (mmbert.py:163-172)."""
 
-    def __init__(self):
+    def __init__(self, vqa_classes: int = 0):
         super().__init__()
+        self.vqa_classes = vqa_classes
         self.embeddings = TorchBertEmbeddings(
             vocab=VOCAB, hidden=HIDDEN, max_pos=512
         )
@@ -108,7 +111,7 @@ class TorchTrajModel(nn.Module):
         self.fc1 = nn.Linear(HIDDEN, HIDDEN)
         self.classifier_0 = nn.Linear(HIDDEN, HIDDEN)
         self.classifier_ln = nn.LayerNorm(HIDDEN, eps=1e-12)
-        self.classifier_2 = nn.Linear(HIDDEN, VOCAB)
+        self.classifier_2 = nn.Linear(HIDDEN, vqa_classes or VOCAB)
 
     def forward(self, img, ids, seg, mask):
         taps = self.trunk(img)
@@ -123,6 +126,10 @@ class TorchTrajModel(nn.Module):
         prev = None
         for blk in self.blocks:
             h, prev = blk(h, prev, mask)
+        if self.vqa_classes:
+            m = mask[..., None]
+            pooled = (h * m).sum(1) / m.sum(1).clamp(min=1e-9)
+            h = pooled
         return self.classifier_2(
             self.classifier_ln(self.classifier_0(_serf_t(self.fc1(h))))
         )
@@ -287,4 +294,91 @@ def test_train_trajectory_matches_torch_restatement(data):
         err_msg=f"\njax   {losses_jax}\ntorch {losses_torch}",
     )
     # tight agreement on the very first step (pure forward+loss parity)
+    np.testing.assert_allclose(losses_jax[0], losses_torch[0], rtol=1e-5)
+
+
+NUM_CLASSES = 7
+
+
+def test_vqa_finetune_trajectory_matches_torch_restatement(data):
+    """Same harness for the FINE-TUNE step (vqamed2019/train.py:164-174 CE
+    default + utils.py:655-666 grad-norm clip at 1.0 + Adam): real jitted
+    make_vqa_steps train_step vs the torch restatement, 20 steps."""
+    from mmvqa_tpu.core.config import vqa_config
+    from mmvqa_tpu.train.steps import make_vqa_steps
+
+    cfg = vqa_config(
+        cnn_encoder="tf_efficientnetv2_m",
+        transformer_model="realformer",
+        tiny_cnn=True,
+        hidden_size=HIDDEN,
+        n_layers=LAYERS,
+        vocab_size=VOCAB,
+        num_classes=NUM_CLASSES,
+        max_position_embeddings=T,
+        image_size=S,
+        batch_size=B,
+        lr=LR,
+        clip=True,
+        dropout_override=0.0,
+    )
+    model = MMBert(cfg)
+
+    tm = TorchTrajModel(vqa_classes=NUM_CLASSES)
+    params, batch_stats = _torch_to_flax(tm)
+    state = create_train_state(
+        {"params": params, "batch_stats": batch_stats}, LR, clip=True
+    )
+    train_step, _ = make_vqa_steps(model, cfg, aug=NOOP_AUG)
+
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    tm.train()
+
+    rng = np.random.default_rng(5)
+    answers = [rng.integers(0, NUM_CLASSES, (B,)).astype(np.int32)
+               for _ in range(3)]
+
+    losses_jax, losses_torch = [], []
+    clip_engaged = False
+    key = jax.random.PRNGKey(9)
+    for step in range(N_STEPS):
+        b = data[step % len(data)]
+        jb = {k: jnp.asarray(v) for k, v in b.items()
+              if k not in ("labels",)}
+        jb["answer"] = jnp.asarray(answers[step % 3])
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, jb, sub)
+        losses_jax.append(float(metrics["loss"]))
+
+        img = (
+            torch.from_numpy(b["image"].astype(np.float32)).permute(0, 3, 1, 2)
+            / 255.0
+            - 0.5
+        ) / 0.5
+        logits = tm(
+            img,
+            torch.from_numpy(b["tokens"]).long(),
+            torch.from_numpy(b["segment_ids"]).long(),
+            torch.from_numpy(b["input_mask"]),
+        )
+        loss = F.nll_loss(
+            torch.log_softmax(logits, dim=-1),
+            torch.from_numpy(answers[step % 3]).long(),
+        )
+        opt.zero_grad()
+        loss.backward()
+        gn = torch.nn.utils.clip_grad_norm_(tm.parameters(), 1.0)
+        clip_engaged = clip_engaged or float(gn) > 1.0
+        opt.step()
+        losses_torch.append(float(loss))
+
+    losses_jax = np.asarray(losses_jax)
+    losses_torch = np.asarray(losses_torch)
+    assert losses_jax[-1] < losses_jax[0]
+    # the clip path must actually fire for this to certify it
+    assert clip_engaged, "grad norm never exceeded 1.0 — clip untested"
+    np.testing.assert_allclose(
+        losses_jax, losses_torch, rtol=2e-3, atol=2e-3,
+        err_msg=f"\njax   {losses_jax}\ntorch {losses_torch}",
+    )
     np.testing.assert_allclose(losses_jax[0], losses_torch[0], rtol=1e-5)
