@@ -92,12 +92,17 @@ class TorchRealFormerBlock(nn.Module):
 class TorchTrajModel(nn.Module):
     """Reference Model (mmbert.py:129-167) restated at tiny scale: CNN
     5-tap token heads, CLS-overwrite fusion, RealFormer stack, then either
-    the per-token MLM head or (``vqa_classes>0``) the masked-mean-pool VQA
-    classifier (mmbert.py:163-172)."""
+    the per-token MLM head, the masked-mean-pool VQA classifier
+    (``vqa_classes>0``, mmbert.py:163-172), the raw hidden states
+    (``distill=True``, mmbert.py:154-156), or (MLM logits, SupCon
+    projection) when ``supcon=True`` (mmbert.py:139-150)."""
 
-    def __init__(self, vqa_classes: int = 0):
+    def __init__(self, vqa_classes: int = 0, distill: bool = False,
+                 supcon: bool = False):
         super().__init__()
         self.vqa_classes = vqa_classes
+        self.distill = distill
+        self.supcon = supcon
         self.embeddings = TorchBertEmbeddings(
             vocab=VOCAB, hidden=HIDDEN, max_pos=512
         )
@@ -112,6 +117,9 @@ class TorchTrajModel(nn.Module):
         self.classifier_0 = nn.Linear(HIDDEN, HIDDEN)
         self.classifier_ln = nn.LayerNorm(HIDDEN, eps=1e-12)
         self.classifier_2 = nn.Linear(HIDDEN, vqa_classes or VOCAB)
+        if supcon:
+            self.head_0 = nn.Linear(HIDDEN, HIDDEN)
+            self.head_2 = nn.Linear(HIDDEN, 128)
 
     def forward(self, img, ids, seg, mask):
         taps = self.trunk(img)
@@ -126,13 +134,21 @@ class TorchTrajModel(nn.Module):
         prev = None
         for blk in self.blocks:
             h, prev = blk(h, prev, mask)
+        if self.distill:
+            return h
         if self.vqa_classes:
             m = mask[..., None]
-            pooled = (h * m).sum(1) / m.sum(1).clamp(min=1e-9)
-            h = pooled
-        return self.classifier_2(
+            h = (h * m).sum(1) / m.sum(1).clamp(min=1e-9)
+        logits = self.classifier_2(
             self.classifier_ln(self.classifier_0(_serf_t(self.fc1(h))))
         )
+        if self.supcon:
+            m = mask[..., None]
+            pooled = (h * m).sum(1) / m.sum(1).clamp(min=1e-9)
+            feat = self.head_2(_serf_t(self.head_0(pooled)))
+            feat = feat / feat.norm(dim=-1, keepdim=True)
+            return logits, feat
+        return logits
 
 
 def _lin(mod: nn.Linear) -> dict:
@@ -182,6 +198,9 @@ def _torch_to_flax(tm: TorchTrajModel):
         "classifier_ln": _ln(tm.classifier_ln),
         "classifier_2": _lin(tm.classifier_2),
     }
+    if getattr(tm, "supcon", False):
+        params["head_0"] = _lin(tm.head_0)
+        params["head_2"] = _lin(tm.head_2)
     return (
         jax.tree.map(jnp.asarray, params),
         jax.tree.map(jnp.asarray, {"trans": {"trunk": trunk_s}}),
@@ -377,6 +396,170 @@ def test_vqa_finetune_trajectory_matches_torch_restatement(data):
     assert losses_jax[-1] < losses_jax[0]
     # the clip path must actually fire for this to certify it
     assert clip_engaged, "grad norm never exceeded 1.0 — clip untested"
+    np.testing.assert_allclose(
+        losses_jax, losses_torch, rtol=2e-3, atol=2e-3,
+        err_msg=f"\njax   {losses_jax}\ntorch {losses_torch}",
+    )
+    np.testing.assert_allclose(losses_jax[0], losses_torch[0], rtol=1e-5)
+
+
+def _img_t(b):
+    return (
+        torch.from_numpy(b["image"].astype(np.float32)).permute(0, 3, 1, 2)
+        / 255.0 - 0.5
+    ) / 0.5
+
+
+def test_distillation_trajectory_matches_torch_restatement(data):
+    """Distillation objective (roco_train.py task=distillation: MSE between
+    the encoder hidden states and precomputed ClinicalBERT embeddings,
+    roco_utils.py:249-290): 12 steps of the real jitted step vs torch."""
+    from mmvqa_tpu.train.steps import make_distill_steps
+
+    cfg = pretrain_config(
+        cnn_encoder="tf_efficientnetv2_m",
+        transformer_model="realformer",
+        task="distillation",
+        tiny_cnn=True,
+        hidden_size=HIDDEN,
+        n_layers=LAYERS,
+        vocab_size=VOCAB,
+        max_position_embeddings=T,
+        image_size=S,
+        batch_size=B,
+        lr=LR,
+        dropout_override=0.0,
+    )
+    model = MMBert(cfg)
+    tm = TorchTrajModel(distill=True)
+    params, batch_stats = _torch_to_flax(tm)
+    state = create_train_state({"params": params, "batch_stats": batch_stats}, LR)
+    train_step, _ = make_distill_steps(model, cfg, aug=NOOP_AUG)
+
+    rng = np.random.default_rng(13)
+    targets = [rng.normal(size=(B, T, HIDDEN)).astype(np.float32)
+               for _ in range(3)]
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    tm.train()
+
+    losses_jax, losses_torch = [], []
+    key = jax.random.PRNGKey(21)
+    for step in range(12):
+        b = data[step % len(data)]
+        jb = {k: jnp.asarray(v) for k, v in b.items() if k != "labels"}
+        jb["labels"] = jnp.asarray(targets[step % 3])
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, jb, sub)
+        losses_jax.append(float(metrics["loss"]))
+
+        h = tm(
+            _img_t(b),
+            torch.from_numpy(b["tokens"]).long(),
+            torch.from_numpy(b["segment_ids"]).long(),
+            torch.from_numpy(b["input_mask"]),
+        )
+        loss = F.mse_loss(h, torch.from_numpy(targets[step % 3]))
+        opt.zero_grad(); loss.backward(); opt.step()
+        losses_torch.append(float(loss))
+
+    losses_jax = np.asarray(losses_jax)
+    losses_torch = np.asarray(losses_torch)
+    assert losses_jax[-1] < losses_jax[0]
+    np.testing.assert_allclose(
+        losses_jax, losses_torch, rtol=2e-3, atol=2e-3,
+        err_msg=f"\njax   {losses_jax}\ntorch {losses_torch}",
+    )
+    np.testing.assert_allclose(losses_jax[0], losses_torch[0], rtol=1e-5)
+
+
+def _supcon_t(feats: torch.Tensor) -> torch.Tensor:
+    """SupConLoss contrast_mode='all', temperature=base=0.07, no labels/mask
+    (identity mask = SimCLR positives) — loss.py:11-98 restated."""
+    bsz = feats.shape[0]
+    f = torch.cat([feats[:, 0], feats[:, 1]], 0)
+    logits = f @ f.T / 0.07
+    logits = logits - logits.max(dim=1, keepdim=True).values.detach()
+    n = 2 * bsz
+    mask = torch.eye(bsz).repeat(2, 2)
+    logits_mask = 1.0 - torch.eye(n)
+    mask = mask * logits_mask
+    exp_logits = logits.exp() * logits_mask
+    log_prob = logits - exp_logits.sum(1, keepdim=True).log()
+    mean_log_prob_pos = (mask * log_prob).sum(1) / mask.sum(1)
+    return (-mean_log_prob_pos).mean()
+
+
+def test_supcon_trajectory_matches_torch_restatement(data):
+    """Joint MLM + SupCon pretraining step (supcon_utils.py:263-323): two
+    views concatenated along batch, MLM NLL + SupCon loss, mask NOT passed
+    (the reference's live-path quirk). 12 steps vs torch restatement.
+    Under the zeroed AugmentSpec both image views are identical (the text
+    views differ), exactly mirrored on the torch side."""
+    from mmvqa_tpu.train.steps import make_supcon_steps
+
+    cfg = pretrain_config(
+        cnn_encoder="tf_efficientnetv2_m",
+        transformer_model="realformer",
+        supcon=True,
+        tiny_cnn=True,
+        hidden_size=HIDDEN,
+        n_layers=LAYERS,
+        vocab_size=VOCAB,
+        max_position_embeddings=T,
+        image_size=S,
+        batch_size=B,
+        lr=LR,
+        dropout_override=0.0,
+    )
+    model = MMBert(cfg)
+    tm = TorchTrajModel(supcon=True)
+    params, batch_stats = _torch_to_flax(tm)
+    state = create_train_state({"params": params, "batch_stats": batch_stats}, LR)
+    train_step, _ = make_supcon_steps(model, cfg, aug=NOOP_AUG)
+
+    rng = np.random.default_rng(17)
+    aug_tokens = [rng.integers(0, VOCAB, (B, T)).astype(np.int32)
+                  for _ in range(3)]
+    aug_labels = [
+        (rng.integers(1, VOCAB, (B, T)) * (rng.random((B, T)) < 0.3)
+         ).astype(np.int32)
+        for _ in range(3)
+    ]
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+    tm.train()
+
+    losses_jax, losses_torch = [], []
+    key = jax.random.PRNGKey(33)
+    for step in range(12):
+        i = step % 3
+        b = data[i]
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        jb["aug_tokens"] = jnp.asarray(aug_tokens[i])
+        jb["aug_labels"] = jnp.asarray(aug_labels[i])
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, jb, sub)
+        losses_jax.append(float(metrics["loss"]))
+
+        img = _img_t(b)
+        img2 = torch.cat([img, img], 0)  # identity aug: both views equal
+        ids2 = torch.cat([torch.from_numpy(b["tokens"]).long(),
+                          torch.from_numpy(aug_tokens[i]).long()], 0)
+        seg2 = torch.from_numpy(b["segment_ids"]).long().repeat(2, 1)
+        mask2 = torch.from_numpy(b["input_mask"]).repeat(2, 1)
+        labels2 = torch.cat([torch.from_numpy(b["labels"]).long(),
+                             torch.from_numpy(aug_labels[i]).long()], 0)
+        logits, feat = tm(img2, ids2, seg2, mask2)
+        nll = F.nll_loss(
+            torch.log_softmax(logits, dim=-1).permute(0, 2, 1), labels2
+        )
+        feats = torch.stack([feat[:B], feat[B:]], 1)
+        loss = nll + _supcon_t(feats)
+        opt.zero_grad(); loss.backward(); opt.step()
+        losses_torch.append(float(loss))
+
+    losses_jax = np.asarray(losses_jax)
+    losses_torch = np.asarray(losses_torch)
+    assert losses_jax[-1] < losses_jax[0]
     np.testing.assert_allclose(
         losses_jax, losses_torch, rtol=2e-3, atol=2e-3,
         err_msg=f"\njax   {losses_jax}\ntorch {losses_torch}",
