@@ -10,8 +10,6 @@ additive.
 from __future__ import annotations
 
 import argparse
-import math
-from typing import Optional
 
 import numpy as np
 

@@ -9,12 +9,10 @@ from __future__ import annotations
 
 import math
 import os
-import sys
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mmvqa_tpu.cli.common import (
     config_from_args,

@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax
 import numpy as np
 
 from mmvqa_tpu.cli.common import (

@@ -14,7 +14,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from mmvqa_tpu.cli.common import (
     config_from_args,

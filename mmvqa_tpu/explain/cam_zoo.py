@@ -14,11 +14,10 @@ All methods return (B, H, W) heatmaps normalized to [0, 1].
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _normalize(heat: jax.Array) -> jax.Array:

@@ -29,7 +29,6 @@ Dropout: the reference wires ``attn_dropout=0.1, ff_dropout=0.1``
 from __future__ import annotations
 
 import math
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

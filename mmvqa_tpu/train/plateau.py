@@ -10,8 +10,8 @@ dict so it round-trips through the Orbax recorder checkpoint
 
 from __future__ import annotations
 
-from dataclasses import asdict, dataclass, field
-from typing import Dict, Optional
+from dataclasses import asdict, dataclass
+from typing import Dict
 
 
 @dataclass

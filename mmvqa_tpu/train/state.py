@@ -22,7 +22,7 @@ states also let every leaf carry its own NamedSharding for TP.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

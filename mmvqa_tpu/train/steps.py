@@ -15,7 +15,7 @@ denominator automatically (the jitted program sees the global batch).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
