@@ -28,19 +28,23 @@ DEFAULT_CACHE_DIR = os.environ.get(
 )
 
 
-def enable_compilation_cache(cache_dir: str = "") -> None:
+def enable_compilation_cache(
+    cache_dir: str = "", min_compile_seconds: float = 5.0
+) -> None:
     """Idempotently turn on JAX's persistent compilation cache.
 
-    Safe to call before or after backend init; programs that take <5s to
-    compile are not persisted (keeps the cache to the handful of big train
-    step executables).
+    Safe to call before or after backend init; programs compiling faster
+    than ``min_compile_seconds`` are not persisted (keeps the cache to the
+    handful of big train-step executables).
     """
     import jax
 
     jax.config.update(
         "jax_compilation_cache_dir", cache_dir or DEFAULT_CACHE_DIR
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_seconds
+    )
     # cache regardless of backend (the axon tunnel backend is non-standard;
     # 'any' opts it in — correctness is keyed on topology fingerprint)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

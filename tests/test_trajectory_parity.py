@@ -410,6 +410,141 @@ def _img_t(b):
     ) / 0.5
 
 
+class TorchVanillaEncoder(nn.Module):
+    """models/transformer.py:50-98 restated: pre-norm BERT stack with
+    share='none', INCLUDING the reference quirks — one LayerNorm shared by
+    every layer, applied before BOTH attention and FFN ('norm2' never used
+    in pre mode); key-axis -10000 mask; exact-erf GELU FFN."""
+
+    def __init__(self, emb, heads, layers):
+        super().__init__()
+        self.heads, self.d = heads, emb // heads
+        self.norm1 = nn.LayerNorm(emb, eps=1e-12)
+        self.q = nn.ModuleList(nn.Linear(emb, emb) for _ in range(layers))
+        self.k = nn.ModuleList(nn.Linear(emb, emb) for _ in range(layers))
+        self.v = nn.ModuleList(nn.Linear(emb, emb) for _ in range(layers))
+        self.proj = nn.ModuleList(nn.Linear(emb, emb) for _ in range(layers))
+        self.fc1 = nn.ModuleList(nn.Linear(emb, 4 * emb) for _ in range(layers))
+        self.fc2 = nn.ModuleList(nn.Linear(4 * emb, emb) for _ in range(layers))
+
+    def _att(self, i, x, mask):
+        Bb, Tt, emb = x.shape
+        sp = lambda t: t.view(Bb, Tt, self.heads, self.d).transpose(1, 2)
+        q, k, v = sp(self.q[i](x)), sp(self.k[i](x)), sp(self.v[i](x))
+        scores = q @ k.transpose(-1, -2) / math.sqrt(self.d)
+        scores = scores - 10000.0 * (1.0 - mask)[:, None, None, :]
+        ctx = torch.softmax(scores, -1) @ v
+        return ctx.transpose(1, 2).reshape(Bb, Tt, emb)
+
+    def forward(self, x, mask):
+        for i in range(len(self.proj)):
+            x = x + self.proj[i](self._att(i, self.norm1(x), mask))
+            x = x + self.fc2[i](F.gelu(self.fc1[i](self.norm1(x))))
+        return x
+
+
+def test_vanilla_transformer_trajectory_matches_torch_restatement(data):
+    """Same harness for the reference's DEFAULT encoder (--transformer_model
+    transformer): pre-norm shared-LN BertEncoder under the MLM objective,
+    12 steps vs the torch restatement."""
+    HEADS_V = 8
+    cfg = pretrain_config(
+        cnn_encoder="tf_efficientnetv2_m",
+        transformer_model="transformer",
+        tiny_cnn=True,
+        hidden_size=HIDDEN,
+        n_layers=LAYERS,
+        heads=HEADS_V,
+        vocab_size=VOCAB,
+        max_position_embeddings=T,
+        image_size=S,
+        batch_size=B,
+        lr=LR,
+        dropout_override=0.0,
+    )
+    model = MMBert(cfg)
+
+    tm = TorchTrajModel()
+    enc = TorchVanillaEncoder(HIDDEN, HEADS_V, LAYERS)
+    params, batch_stats = _torch_to_flax(tm)
+    params = dict(params)
+    params["encoder"] = {
+        "norm1": _ln(enc.norm1),
+        **{f"attention_{i}": {
+            "proj_q": _lin(enc.q[i]),
+            "proj_k": _lin(enc.k[i]),
+            "proj_v": _lin(enc.v[i]),
+        } for i in range(LAYERS)},
+        **{f"proj_{i}": _lin(enc.proj[i]) for i in range(LAYERS)},
+        **{f"feedforward_{i}": {
+            "fc1": _lin(enc.fc1[i]), "fc2": _lin(enc.fc2[i]),
+        } for i in range(LAYERS)},
+    }
+    params = jax.tree.map(jnp.asarray, params)
+
+    # structure check against the model's own init
+    b0 = data[0]
+    init_vars = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, S, S, 3), jnp.float32),
+        jnp.asarray(b0["tokens"]), jnp.asarray(b0["segment_ids"]),
+        jnp.asarray(b0["input_mask"]),
+    )
+    assert jax.tree.structure(init_vars["params"]) == jax.tree.structure(params)
+
+    state = create_train_state({"params": params, "batch_stats": batch_stats}, LR)
+    train_step, _ = make_mlm_steps(model, cfg, aug=NOOP_AUG)
+
+    opt = torch.optim.Adam(
+        list(tm.parameters()) + list(enc.parameters()), lr=LR
+    )
+    tm.train(); enc.train()
+
+    losses_jax, losses_torch = [], []
+    key = jax.random.PRNGKey(41)
+    for step in range(12):
+        b = data[step % len(data)]
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, jb, sub)
+        losses_jax.append(float(metrics["loss"]))
+
+        # torch fwd: reuse TorchTrajModel's fusion, swap the encoder
+        img = _img_t(b)
+        taps = tm.trunk(img)
+        feats = [taps[i] for i in (0, 1, 2, 4, 6)]
+        tokens_v = [
+            _serf_t(conv(f)).mean((2, 3))
+            for conv, f in zip(tm.token_convs, feats)
+        ]
+        h = tm.embeddings(
+            torch.from_numpy(b["tokens"]).long(),
+            torch.from_numpy(b["segment_ids"]).long(),
+        )
+        vis = torch.stack(tokens_v, 1)
+        h = torch.cat([vis, h[:, NUM_VIS:]], 1)
+        mask_t = torch.from_numpy(b["input_mask"])
+        h = enc(h, mask_t)
+        logits = tm.classifier_2(
+            tm.classifier_ln(tm.classifier_0(_serf_t(tm.fc1(h))))
+        )
+        loss = F.nll_loss(
+            torch.log_softmax(logits, dim=-1).permute(0, 2, 1),
+            torch.from_numpy(b["labels"]).long(),
+        )
+        opt.zero_grad(); loss.backward(); opt.step()
+        losses_torch.append(float(loss))
+
+    losses_jax = np.asarray(losses_jax)
+    losses_torch = np.asarray(losses_torch)
+    assert losses_jax[-1] < losses_jax[0]
+    np.testing.assert_allclose(
+        losses_jax, losses_torch, rtol=2e-3, atol=2e-3,
+        err_msg=f"\njax   {losses_jax}\ntorch {losses_torch}",
+    )
+    np.testing.assert_allclose(losses_jax[0], losses_torch[0], rtol=1e-5)
+
+
 def test_distillation_trajectory_matches_torch_restatement(data):
     """Distillation objective (roco_train.py task=distillation: MSE between
     the encoder hidden states and precomputed ClinicalBERT embeddings,
