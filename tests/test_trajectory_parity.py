@@ -443,6 +443,186 @@ class TorchVanillaEncoder(nn.Module):
         return x
 
 
+class TorchFeedbackEncoder(nn.Module):
+    """models/feedback_transformer_pytorch.py:140-322 restated (reference
+    growing-memory semantics; equivalent to the Flax fixed-buffer scan when
+    T <= mem_len): window loop of seq_len tokens, shared kv projection,
+    causal T5 relative bias, GEGLU FFN, layer-weighted memory aggregate."""
+
+    def __init__(self, d, layers, heads=8, dhead=64, seq_len=2,
+                 num_buckets=32, max_distance=128):
+        super().__init__()
+        self.heads, self.dhead, self.seq_len = heads, dhead, seq_len
+        self.num_buckets, self.max_distance = num_buckets, max_distance
+        inner = heads * dhead
+        self.inner = inner
+        mk = lambda f: nn.ModuleList(f() for _ in range(layers))
+        self.attn_norm = mk(lambda: nn.LayerNorm(d, eps=1e-6))
+        self.ff_norm = mk(lambda: nn.LayerNorm(d, eps=1e-6))
+        self.to_q = mk(lambda: nn.Linear(d, inner, bias=False))
+        self.to_out = mk(lambda: nn.Linear(inner, d))
+        self.w_in = mk(lambda: nn.Linear(d, d * 8))
+        self.w_out = mk(lambda: nn.Linear(d * 4, d))
+        self.shared_kv = nn.Linear(d, 2 * inner, bias=False)
+        self.rel_bias = nn.Embedding(num_buckets, heads)
+        self.layer_weight = nn.Parameter(torch.ones(layers + 1))
+
+    def _bucket(self, rel):
+        n = (-rel).clamp(min=0)
+        max_exact = self.num_buckets // 2
+        val_large = max_exact + (
+            torch.log(n.clamp(min=1).float() / max_exact)
+            / math.log(self.max_distance / max_exact)
+            * (self.num_buckets - max_exact)
+        ).int()
+        val_large = val_large.clamp(max=self.num_buckets - 1)
+        return torch.where(n < max_exact, n, val_large)
+
+    def forward(self, x):
+        Bb, T, d = x.shape
+        H, dh, inner = self.heads, self.dhead, self.inner
+        scale = dh ** -0.5
+        mem_k = x.new_zeros(Bb, 0, inner)
+        mem_v = x.new_zeros(Bb, 0, inner)
+        outs = []
+        for pos in range(0, T, self.seq_len):
+            seg = x[:, pos:pos + self.seq_len]
+            n = seg.shape[1]
+            hiddens = [seg]
+            h = seg
+            for li in range(len(self.to_q)):
+                y = self.attn_norm[li](h)
+                q = self.to_q[li](y) * scale
+                kv = self.shared_kv(y)
+                k = torch.cat([mem_k, kv[..., :inner]], 1)
+                v = torch.cat([mem_v, kv[..., inner:]], 1)
+                j = k.shape[1]
+                sp = lambda t, L: t.view(Bb, L, H, dh).transpose(1, 2)
+                sim = sp(q, n) @ sp(k, j).transpose(-1, -2)
+                rel = (torch.arange(j)[None, :] - torch.arange(n)[:, None])
+                bias = self.rel_bias(self._bucket(rel))  # (n, j, H)
+                sim = sim + bias.permute(2, 0, 1)[None]
+                causal = torch.triu(
+                    torch.ones(n, j, dtype=torch.bool), diagonal=j - n + 1
+                )
+                sim = sim.masked_fill(causal[None, None], -3.0e38)
+                ctx = torch.softmax(sim, -1) @ sp(v, j)
+                ctx = ctx.transpose(1, 2).reshape(Bb, n, inner)
+                h = h + self.to_out[li](ctx)
+                z = self.w_in[li](self.ff_norm[li](h))
+                val, gate = z.chunk(2, -1)
+                h = h + self.w_out[li](F.gelu(gate) * val)
+                hiddens.append(h)
+            outs.append(h)
+            w = torch.softmax(self.layer_weight, 0)
+            agg = sum(wi * hh for wi, hh in zip(w, hiddens))
+            kv = self.shared_kv(agg)
+            mem_k = torch.cat([mem_k, kv[..., :inner]], 1)
+            mem_v = torch.cat([mem_v, kv[..., inner:]], 1)
+        return torch.cat(outs, 1)
+
+
+def _feedback_to_flax(enc: TorchFeedbackEncoder) -> dict:
+    seg = {
+        "shared_kv": {"kernel": enc.shared_kv.weight.detach().numpy().T.copy()},
+        "rel_bias": {"embedding": enc.rel_bias.weight.detach().numpy().copy()},
+        "layer_weight": enc.layer_weight.detach().numpy().copy(),
+    }
+    for i in range(len(enc.to_q)):
+        seg[f"attn_norm_{i}"] = _ln(enc.attn_norm[i])
+        seg[f"ff_norm_{i}"] = _ln(enc.ff_norm[i])
+        seg[f"to_q_{i}"] = {"kernel": enc.to_q[i].weight.detach().numpy().T.copy()}
+        seg[f"to_out_{i}"] = _lin(enc.to_out[i])
+        seg[f"ff_{i}"] = {"w_in": _lin(enc.w_in[i]), "w_out": _lin(enc.w_out[i])}
+    return {"segment": seg}
+
+
+def test_feedback_trajectory_matches_torch_restatement(data):
+    """Sixth trajectory: the Feedback Transformer encoder under the MLM
+    objective (reference mmbert.py:110-127 wiring: seq_len=2, mem_len=256,
+    heads=8, dim_head=64), 12 steps vs the torch restatement — with this,
+    every encoder family's training dynamics are certified end-to-end."""
+    cfg = pretrain_config(
+        cnn_encoder="tf_efficientnetv2_m",
+        transformer_model="feedback-transformer",
+        tiny_cnn=True,
+        hidden_size=HIDDEN,
+        n_layers=LAYERS,
+        vocab_size=VOCAB,
+        max_position_embeddings=T,
+        image_size=S,
+        batch_size=B,
+        lr=LR,
+        dropout_override=0.0,
+    )
+    model = MMBert(cfg)
+
+    tm = TorchTrajModel()
+    enc = TorchFeedbackEncoder(HIDDEN, LAYERS)
+    params, batch_stats = _torch_to_flax(tm)
+    params = dict(params)
+    params["encoder"] = _feedback_to_flax(enc)
+    params = jax.tree.map(jnp.asarray, params)
+
+    b0 = data[0]
+    init_vars = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, S, S, 3), jnp.float32),
+        jnp.asarray(b0["tokens"]), jnp.asarray(b0["segment_ids"]),
+        jnp.asarray(b0["input_mask"]),
+    )
+    assert jax.tree.structure(init_vars["params"]) == jax.tree.structure(params)
+
+    state = create_train_state({"params": params, "batch_stats": batch_stats}, LR)
+    train_step, _ = make_mlm_steps(model, cfg, aug=NOOP_AUG)
+    opt = torch.optim.Adam(
+        list(tm.parameters()) + list(enc.parameters()), lr=LR
+    )
+    tm.train(); enc.train()
+
+    losses_jax, losses_torch = [], []
+    key = jax.random.PRNGKey(55)
+    for step in range(12):
+        b = data[step % len(data)]
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, jb, sub)
+        losses_jax.append(float(metrics["loss"]))
+
+        img = _img_t(b)
+        taps = tm.trunk(img)
+        feats = [taps[i] for i in (0, 1, 2, 4, 6)]
+        tokens_v = [
+            _serf_t(conv(f)).mean((2, 3))
+            for conv, f in zip(tm.token_convs, feats)
+        ]
+        h = tm.embeddings(
+            torch.from_numpy(b["tokens"]).long(),
+            torch.from_numpy(b["segment_ids"]).long(),
+        )
+        vis = torch.stack(tokens_v, 1)
+        h = torch.cat([vis, h[:, NUM_VIS:]], 1)
+        h = enc(h)  # reference never applies the padding mask (:125-127)
+        logits = tm.classifier_2(
+            tm.classifier_ln(tm.classifier_0(_serf_t(tm.fc1(h))))
+        )
+        loss = F.nll_loss(
+            torch.log_softmax(logits, dim=-1).permute(0, 2, 1),
+            torch.from_numpy(b["labels"]).long(),
+        )
+        opt.zero_grad(); loss.backward(); opt.step()
+        losses_torch.append(float(loss))
+
+    losses_jax = np.asarray(losses_jax)
+    losses_torch = np.asarray(losses_torch)
+    assert losses_jax[-1] < losses_jax[0]
+    np.testing.assert_allclose(
+        losses_jax, losses_torch, rtol=2e-3, atol=2e-3,
+        err_msg=f"\njax   {losses_jax}\ntorch {losses_torch}",
+    )
+    np.testing.assert_allclose(losses_jax[0], losses_torch[0], rtol=1e-5)
+
+
 def test_vanilla_transformer_trajectory_matches_torch_restatement(data):
     """Same harness for the reference's DEFAULT encoder (--transformer_model
     transformer): pre-norm shared-LN BertEncoder under the MLM objective,
