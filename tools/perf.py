@@ -63,6 +63,7 @@ def build_run(overrides: dict, batch: int, steps: int):
     opt = overrides.pop("opt", "adam")  # probe knob: 'adam' | 'sgd'
     unroll = overrides.pop("unroll", False)  # probe: python-unrolled steps
     batch = int(overrides.pop("batch", batch))  # per-variant batch size
+    task = overrides.pop("task", "mlm")  # 'mlm' | 'vqa' (fine-tune step)
     pallas_min_p = overrides.pop("pallas_min_p", None)
     if pallas_min_p is not None:
         from mmvqa_tpu.models import visual_tokens
@@ -74,13 +75,25 @@ def build_run(overrides: dict, batch: int, steps: int):
 
         effnetv2.BN_F32_STATS = bool(bn_f32)
 
-    cfg = pretrain_config(
-        cnn_encoder="tf_efficientnetv2_m",
-        transformer_model="realformer",
-        batch_size=batch,
-        mixed_precision=True,
-        **overrides,
-    )
+    if task == "vqa":
+        # fine-tune regime (vqamed2019/train.py defaults: T=28, ~332-answer
+        # head, CE) at the same flagship width/batch
+        from mmvqa_tpu.core.config import vqa_config
+
+        cfg = vqa_config(
+            **{"cnn_encoder": "tf_efficientnetv2_m",
+               "transformer_model": "realformer",
+               "hidden_size": 768, "num_classes": 332,
+               "batch_size": batch, "mixed_precision": True,
+               **overrides},
+        )
+    else:
+        cfg = pretrain_config(
+            **{"cnn_encoder": "tf_efficientnetv2_m",
+               "transformer_model": "realformer",
+               "batch_size": batch, "mixed_precision": True,
+               **overrides},
+        )
     model = MMBert(cfg, dtype=jnp.bfloat16)
 
     B, T, S = batch, cfg.max_position_embeddings, cfg.image_size
@@ -113,6 +126,10 @@ def build_run(overrides: dict, batch: int, steps: int):
             tx=tx,
         )
 
+    answers = jnp.asarray(
+        rng.integers(0, max(cfg.num_classes, 2), (B,)), jnp.int32
+    )
+
     def one_step(state, key):
         k1, k2 = jax.random.split(key)
         img = process_batch(raw, k1, PRETRAIN_AUG, True)
@@ -124,7 +141,14 @@ def build_run(overrides: dict, batch: int, steps: int):
                 deterministic=False, train_cnn=True,
                 rngs={"dropout": k2}, mutable=["batch_stats"],
             )
-            return masked_mlm_nll(out, labels), mut["batch_stats"]
+            if task == "vqa":
+                logp = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
+                loss = -jnp.mean(
+                    jnp.take_along_axis(logp, answers[:, None], axis=-1)
+                )
+            else:
+                loss = masked_mlm_nll(out, labels)
+            return loss, mut["batch_stats"]
 
         (loss, bstats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
