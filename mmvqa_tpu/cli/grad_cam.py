@@ -106,6 +106,11 @@ def main(argv: Optional[list] = None) -> None:
         jax.random.PRNGKey(cfg.seed), img, ids, seg, mask
     )
     loaded = checkpoint.load_weights(args.model_dir)
+    checkpoint.check_compatible(
+        variables,
+        {"params": loaded["params"], "batch_stats": loaded["batch_stats"]},
+        what=args.model_dir,
+    )
     variables = {
         "params": loaded["params"], "batch_stats": loaded["batch_stats"]
     }

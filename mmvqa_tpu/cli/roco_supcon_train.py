@@ -114,6 +114,12 @@ def main(argv: Optional[list] = None) -> None:
         print("Resuming training")
         if cfg.no_recorder:
             loaded = checkpoint.load_weights(cfg.resume_dir)
+            checkpoint.check_compatible(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": loaded["params"],
+                 "batch_stats": loaded["batch_stats"]},
+                what=cfg.resume_dir,
+            )
             state = state.replace(
                 params=loaded["params"], batch_stats=loaded["batch_stats"]
             )

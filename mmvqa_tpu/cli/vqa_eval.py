@@ -85,6 +85,11 @@ def main(argv: Optional[list] = None) -> None:
     for path in model_paths:
         print("Loading model at ", path)
         loaded = checkpoint.load_weights(path)
+        checkpoint.check_compatible(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": loaded["params"], "batch_stats": loaded["batch_stats"]},
+            what=path,
+        )
         state = state.replace(
             params=loaded["params"], batch_stats=loaded["batch_stats"]
         )

@@ -116,3 +116,34 @@ def filtered_restore(model_vars: Dict, loaded: Dict) -> Tuple[Dict, int, int]:
         n_loaded,
         len(paths),
     )
+
+
+def check_compatible(model_vars: Dict, loaded: Dict, what: str = "") -> None:
+    """Fail FAST with a readable message when a checkpoint's parameter
+    shapes don't match the constructed model (otherwise the mismatch
+    surfaces as a cryptic flax ScopeParamShapeError or an XLA shape error
+    deep inside apply). Typical causes: a different --cnn_encoder /
+    --transformer_model / --hidden_size than the checkpoint was trained
+    with, or a vocab file of a different size."""
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(model_vars)[0])
+    flat_l = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    problems = []
+    for path in sorted(set(flat_t) | set(flat_l), key=str):
+        a, b = flat_t.get(path), flat_l.get(path)
+        if a is None:
+            problems.append(f"  extra in checkpoint: {path}")
+        elif b is None:
+            problems.append(f"  missing from checkpoint: {path}")
+        elif np.shape(a) != np.shape(b):
+            problems.append(
+                f"  {path}: model {np.shape(a)} vs checkpoint {np.shape(b)}"
+            )
+    if problems:
+        head = "\n".join(problems[:12])
+        more = f"\n  ... and {len(problems) - 12} more" if len(problems) > 12 else ""
+        raise ValueError(
+            f"checkpoint{' ' + what if what else ''} is incompatible with "
+            f"the constructed model ({len(problems)} mismatches):\n{head}{more}\n"
+            "Check --cnn_encoder/--transformer_model/--hidden_size/"
+            "--vocab_file against the values the checkpoint was trained with."
+        )

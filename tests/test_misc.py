@@ -247,3 +247,25 @@ def test_place_state_tp_shards_optimizer_moments():
     mu_fc1 = subtrees[0]["feedforward_0"]["fc1"]["kernel"]
     assert mu_fc1.sharding.spec == P(None, "model")
     assert mu_fc1.addressable_shards[0].data.shape == (8, 8)
+
+
+def test_checkpoint_check_compatible_reports_mismatches():
+    """A stale/mismatched checkpoint must fail FAST with a readable error
+    naming the offending leaves (not a flax ScopeParamShapeError deep in
+    apply) — train/checkpoint.py::check_compatible."""
+    import numpy as np
+    import pytest
+
+    from mmvqa_tpu.train.checkpoint import check_compatible
+
+    model_vars = {"params": {"emb": np.zeros((106, 8)), "w": np.zeros((4,))}}
+    ok = {"params": {"emb": np.zeros((106, 8)), "w": np.zeros((4,))}}
+    check_compatible(model_vars, ok)  # no raise
+
+    bad = {"params": {"emb": np.zeros((98, 8)), "extra": np.zeros(1)}}
+    with pytest.raises(ValueError) as ei:
+        check_compatible(model_vars, bad, what="/tmp/ckpt")
+    msg = str(ei.value)
+    assert "incompatible" in msg and "/tmp/ckpt" in msg
+    assert "(106, 8)" in msg and "(98, 8)" in msg
+    assert "missing from checkpoint" in msg and "extra in checkpoint" in msg
