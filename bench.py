@@ -19,6 +19,7 @@ target is vs_baseline >= 5.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -26,6 +27,12 @@ import numpy as np
 
 A100_BASELINE_IMG_PER_SEC = 400.0
 BATCH = 128
+# Measured single-chip ceilings on THIS v5e through the axon tunnel
+# (CLAUDE.md): peak bf16 matmul throughput from a dedicated sweep, and the
+# large-op effective HBM bandwidth asymptote (512 MB ops; small ops fall on
+# a size-dependent curve down to ~40 GB/s at 8 MB — tools/bn_probe.py).
+PEAK_BF16_FLOPS = 118e12
+PEAK_HBM_BYTES_PER_SEC = 510e9
 # Dispatch+sync through the remote-device tunnel costs ~83 ms per jit CALL
 # (measured: 149.1/143.6/142.3 ms-per-step at K=10/30/60 — perfect o/K fit,
 # asymptote ~140.8); K=60 leaves <1.5 ms/step of it. Drivers super-step the
@@ -93,13 +100,32 @@ def main() -> None:
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
         return state, loss
 
-    @jax.jit
+    # donate the state: matches the drivers' jit(train_step, donate_argnums
+    # =(0,)) and lets XLA alias the param/opt buffers in place of copying
+    # every leaf at program entry
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def run(state, key):
         keys = jax.random.split(key, STEPS)
         return jax.lax.scan(one_step, state, keys)
 
     state, losses = run(state, jax.random.PRNGKey(1))  # compile + warmup
     np.asarray(losses)
+
+    # Roofline accounting (VERDICT r2 #2): XLA's compiled cost analysis of
+    # the scanned program gives analytic FLOPs and HBM bytes; divide by the
+    # measured step time for achieved TFLOP/s / GB/s and compare against the
+    # measured chip ceilings to get the img/s the roofline permits. Runs
+    # AFTER warmup so lower().compile() hits the persistent compile cache
+    # (state was donated — lower() only traces, safe on a dead buffer ref).
+    flops_step = bytes_step = None
+    try:
+        ca = run.lower(state, jax.random.PRNGKey(1)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_step = float(ca["flops"]) / STEPS
+        bytes_step = float(ca["bytes accessed"]) / STEPS
+    except Exception as e:  # tunnel backends may not expose cost analysis
+        print(f"# cost_analysis unavailable: {e!r}", flush=True)
     t0 = time.time()
     state, losses = run(state, jax.random.PRNGKey(2))
     np.asarray(losses)  # host sync
@@ -107,12 +133,27 @@ def main() -> None:
 
     n_chips = jax.device_count()
     img_per_sec = BATCH / dt / n_chips
-    print(json.dumps({
+    record = {
         "metric": "pretrain_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
-    }))
+    }
+    if flops_step is not None:
+        t_flops = flops_step / PEAK_BF16_FLOPS
+        t_bytes = bytes_step / PEAK_HBM_BYTES_PER_SEC
+        record.update({
+            "achieved_tflops": round(flops_step / dt / 1e12, 2),
+            "achieved_gbps": round(bytes_step / dt / 1e9, 1),
+            "pct_flops_peak": round(100 * flops_step / dt / PEAK_BF16_FLOPS, 1),
+            "pct_hbm_peak": round(
+                100 * bytes_step / dt / PEAK_HBM_BYTES_PER_SEC, 1
+            ),
+            # step-time lower bound = max(compute, bandwidth) at the
+            # measured ceilings; the img/s that bound permits
+            "roofline_img_per_sec": round(BATCH / max(t_flops, t_bytes), 1),
+        })
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

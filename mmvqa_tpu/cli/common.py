@@ -46,6 +46,8 @@ def add_tpu_flags(p: argparse.ArgumentParser) -> None:
                    choices=["auto", "conv", "einsum", "pallas"],
                    help="visual-token head impl (auto = Pallas for the "
                         "stage-0 map on a single TPU chip)")
+    p.add_argument("--tiny_cnn", action="store_true", default=False,
+                   help="1-block-per-stage CNN trunks (smoke runs/CI only)")
 
 
 def pretrain_parser(supcon: bool = False) -> argparse.ArgumentParser:
@@ -102,6 +104,9 @@ def pretrain_parser(supcon: bool = False) -> argparse.ArgumentParser:
                    choices=["transformer", "realformer", "feedback-transformer"])
     p.add_argument("--num_vis", type=int, default=5)
     p.add_argument("--use_relu", action="store_true", default=False)
+    # additive (the reference hard-codes 224 in its transforms,
+    # roco_train.py:100-114); lets smoke runs use small images
+    p.add_argument("--image_size", type=int, default=224)
     add_tpu_flags(p)
     return p
 

@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["gradcam", "gradcam++", "xgradcam", "eigencam",
                             "scorecam", "ablationcam"],
                    help="CAM variant (reference grad_cam.py:65-72 zoo)")
+    p.add_argument("--tiny_cnn", action="store_true", default=False,
+                   help="1-block-per-stage CNN trunks (smoke runs/CI only)")
     p.add_argument("--cnn_only", action="store_true", default=False,
                    help="question-independent CAM over the standalone "
                         "fine-tuned CNN trunk (reference grad_cam.py's "

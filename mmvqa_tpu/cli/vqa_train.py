@@ -90,6 +90,11 @@ def main(argv: Optional[list] = None) -> None:
     elif cfg.resume_training:
         print("resume training", cfg.resume_dir)
         loaded = checkpoint.load_weights(cfg.resume_dir)
+        checkpoint.check_compatible(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": loaded["params"], "batch_stats": loaded["batch_stats"]},
+            what=cfg.resume_dir,
+        )
         state = state.replace(
             params=loaded["params"], batch_stats=loaded["batch_stats"]
         )

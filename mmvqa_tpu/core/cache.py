@@ -46,5 +46,5 @@ def enable_compilation_cache(
         "jax_persistent_cache_min_compile_time_secs", min_compile_seconds
     )
     # cache regardless of backend (the axon tunnel backend is non-standard;
-    # 'any' opts it in — correctness is keyed on topology fingerprint)
+    # 'all' opts it in — correctness is keyed on topology fingerprint)
     jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

@@ -54,11 +54,34 @@ TINY_EFFNET_ARCH = tuple(
 REMAT_TOKEN_HEAD = False
 
 # 'auto' token-head impl routes stages with H*W >= this to the Pallas
-# kernel. v5e same-process A/B (B=128, with streaming-LSE loss): conv
-# 151.9 / pallas stage0+1 150.6 / pallas stage0-only 149.9 ms — stage 0
-# (12544 positions) wins, deeper stages are a wash or lose (micro: stage1
-# 5.1 vs 5.1). See tools/perf.py / tools/bench_token_head.py.
-PALLAS_MIN_POSITIONS = 8192
+# kernel. Round-3 retune after exact-divisor position tiling
+# (ops/pallas_token_head.py::_pick_tile): stage1 (3136 positions) now WINS
+# on pallas too — micro 3.99 vs 5.09 ms XLA, in-step A/B 139.7 vs 140.7 ms
+# (916 vs 909 img/s) — where the old fixed 2048-lane tile made it a wash
+# (23% padding). Stage 2 (784 positions) stays conv. See tools/perf.py /
+# tools/bench_token_head.py.
+PALLAS_MIN_POSITIONS = 3000
+
+
+class _TokenKernel(nn.Module):
+    """Owns the 1x1 projection weight at param path ``<name>/kernel`` so
+    every token-head impl (conv / einsum / pallas) produces the IDENTICAL
+    checkpoint tree: nn.Conv(use_bias=False) stores its weight as
+    ``token_conv_<i>/kernel`` of shape (1, 1, K, hidden), and this module
+    reproduces exactly that path+shape for the matmul-form impls. Keeps
+    checkpoints topology-independent even though 'auto' resolves the impl
+    from runtime topology (single-TPU -> pallas, mesh/CPU -> conv)."""
+
+    in_ch: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_ch, self.features),
+        )
 
 
 def _conv_token_head(mdl, feat, idx, act_name):
@@ -110,8 +133,10 @@ class VisualTokenizer(nn.Module):
         consumer fusions); nn.remat'ing it away measured within noise (see
         REMAT_TOKEN_HEAD) — the dominant cost is the activation's VPU time,
         addressed instead by ops.activations.FAST_SERF_BF16 (+15 ms/step).
-        The einsum/pallas weight keeps the (1, 1, K, C) conv-kernel shape so
-        checkpoints stay layout-compatible across impls.
+        The einsum/pallas weight lives at the SAME param path
+        (token_conv_<i>/kernel) and (1, 1, K, C) shape as the nn.Conv form
+        (via _TokenKernel) so checkpoints are bit-for-bit tree-compatible
+        across impls and topologies (cross-impl restore is tested).
         """
         act_name = "serf" if (always_serf or not self.use_relu) else "relu"
         impl = self._resolve_impl(feat)
@@ -124,11 +149,11 @@ class VisualTokenizer(nn.Module):
                 )
                 return head(self, feat, idx, act_name)
             return _conv_token_head(self, feat, idx, act_name)
-        w = self.param(
-            f"token_conv_{idx}",
-            nn.initializers.lecun_normal(),
-            (1, 1, feat.shape[-1], self.hidden_size),
-        )
+        w = _TokenKernel(
+            in_ch=feat.shape[-1],
+            features=self.hidden_size,
+            name=f"token_conv_{idx}",
+        )()
         B, H, W, K = feat.shape
         x = feat.reshape(B, H * W, K)
         if impl == "pallas":

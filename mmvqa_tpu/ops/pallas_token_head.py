@@ -106,8 +106,27 @@ def _act_grad(name: str, x, erf_fn=None):
     return (x > 0).astype(x.dtype)
 
 
-TILE_P = 2048
+TILE_P = 2048  # max lane-tile width; see _pick_tile
 ROW_BLOCK = 4
+
+
+@functools.lru_cache(maxsize=None)
+def _pick_tile(P: int) -> int:
+    """Position-tile width: the multiple of 128 (lane tile) minimizing total
+    padded positions, preferring wider tiles on ties (fewer programs), capped
+    at TILE_P (the (C, tile) f32 intermediate must stay ~<=6 MB of VMEM).
+
+    Stage 0 (112*112 = 12544 = 7 * 1792) tiles EXACTLY at 1792 where the old
+    fixed 2048 padded every pass by 14% (7 tiles * 2048 = 14336) — measured
+    as pure waste since padding multiplies into all three MXU passes and the
+    activation VPU work."""
+    best = TILE_P
+    best_pad = (-(-P // TILE_P)) * TILE_P - P
+    for t in range(128, TILE_P + 1, 128):
+        pad = (-(-P // t)) * t - P
+        if pad < best_pad or (pad == best_pad and t > best):
+            best, best_pad = t, pad
+    return best
 
 
 def _lane_fold(a):
@@ -191,18 +210,19 @@ def _row_block(B: int) -> int:
 
 def _pad_positions_t(xt):
     B, K, P = xt.shape
-    n_tiles = -(-P // TILE_P)
-    pad = n_tiles * TILE_P - P
+    tile = _pick_tile(P)
+    n_tiles = -(-P // tile)
+    pad = n_tiles * tile - P
     if pad:
         xt = jnp.pad(xt, ((0, 0), (0, 0), (0, pad)))
-    return xt, n_tiles, P
+    return xt, tile, n_tiles, P
 
 
 def _fwd_call(x, w, act: str):
     B, P, K = x.shape
     C = w.shape[1]
     rb = _row_block(B)
-    xt, n_tiles, n_pos = _pad_positions_t(jnp.swapaxes(x, 1, 2))
+    xt, tile, n_tiles, n_pos = _pad_positions_t(jnp.swapaxes(x, 1, 2))
     kernel = functools.partial(
         _fwd_kernel, act=act, n_pos=n_pos, n_tiles=n_tiles, rb=rb
     )
@@ -210,7 +230,7 @@ def _fwd_call(x, w, act: str):
         kernel,
         grid=(B // rb, n_tiles),
         in_specs=[
-            pl.BlockSpec((rb, K, TILE_P), lambda b, t: (b, 0, t),
+            pl.BlockSpec((rb, K, tile), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, C), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -228,7 +248,7 @@ def _bwd_call(x, w, g, act: str):
     B, P, K = x.shape
     C = w.shape[1]
     rb = _row_block(B)
-    xt, n_tiles, n_pos = _pad_positions_t(jnp.swapaxes(x, 1, 2))
+    xt, tile, n_tiles, n_pos = _pad_positions_t(jnp.swapaxes(x, 1, 2))
     kernel = functools.partial(
         _bwd_kernel, act=act, n_pos=n_pos, n_tiles=n_tiles, rb=rb
     )
@@ -236,7 +256,7 @@ def _bwd_call(x, w, g, act: str):
         kernel,
         grid=(B // rb, n_tiles),
         in_specs=[
-            pl.BlockSpec((rb, K, TILE_P), lambda b, t: (b, 0, t),
+            pl.BlockSpec((rb, K, tile), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, C), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -244,7 +264,7 @@ def _bwd_call(x, w, g, act: str):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((rb, K, TILE_P), lambda b, t: (b, 0, t),
+            pl.BlockSpec((rb, K, tile), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, C), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),

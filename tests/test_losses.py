@@ -215,7 +215,6 @@ def test_supcon_global_allgather_equals_big_batch(rng):
     single-device loss on the full batch."""
     import jax
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     feats = _normed(rng, (8, 2, 16))
     devices = np.asarray(jax.devices()[:4])
@@ -224,12 +223,12 @@ def test_supcon_global_allgather_equals_big_batch(rng):
     def local_loss(f):
         return supcon_loss(f, axis_name="data")
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         local_loss,
         mesh=mesh,
         in_specs=P("data"),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     got = sharded(jnp.asarray(feats))
     want = supcon_loss(jnp.asarray(feats))

@@ -48,6 +48,39 @@ def test_gradients_match_reference(rng, act):
     )
 
 
+@pytest.mark.parametrize("cnn", ["resnet152", "tf_efficientnetv2_m"])
+def test_cross_impl_param_tree_identical(rng, cnn):
+    """Every token-head impl must produce the IDENTICAL param tree
+    (token_conv_<i>/kernel), so checkpoints transfer across topologies
+    even though 'auto' resolves conv-vs-pallas from runtime topology
+    (ADVICE r2: the flat-leaf einsum/pallas path made single-TPU
+    checkpoints structurally incompatible with CPU/mesh restores)."""
+    from mmvqa_tpu.models.visual_tokens import VisualTokenizer
+
+    img = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    variables = {}
+    for impl in ("conv", "einsum"):  # einsum shares the pallas param path
+        tok = VisualTokenizer(
+            cnn_encoder=cnn, hidden_size=64, tiny=True, token_head_impl=impl
+        )
+        variables[impl] = tok.init(jax.random.PRNGKey(0), img)
+    conv_v, eins_v = variables["conv"], variables["einsum"]
+    assert jax.tree_util.tree_structure(conv_v) == (
+        jax.tree_util.tree_structure(eins_v)
+    )
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(conv_v),
+        jax.tree_util.tree_leaves_with_path(eins_v),
+    ):
+        assert pa == pb and la.shape == lb.shape
+    # a conv-impl checkpoint restores verbatim into the einsum/pallas model
+    tok_e = VisualTokenizer(
+        cnn_encoder=cnn, hidden_size=64, tiny=True, token_head_impl="einsum"
+    )
+    tokens, _ = tok_e.apply(conv_v, img)
+    assert tokens[0].shape == (1, 64)
+
+
 def test_bf16_inputs(rng):
     B, P, K, C = 2, 512, 24, 64
     x = jnp.asarray(rng.normal(size=(B, P, K)), jnp.bfloat16)

@@ -302,7 +302,7 @@ def test_train_trajectory_matches_torch_restatement(data):
         opt.zero_grad()
         loss.backward()
         opt.step()
-        losses_torch.append(float(loss))
+        losses_torch.append(float(loss.detach()))
 
     losses_jax = np.asarray(losses_jax)
     losses_torch = np.asarray(losses_torch)
@@ -389,7 +389,7 @@ def test_vqa_finetune_trajectory_matches_torch_restatement(data):
         gn = torch.nn.utils.clip_grad_norm_(tm.parameters(), 1.0)
         clip_engaged = clip_engaged or float(gn) > 1.0
         opt.step()
-        losses_torch.append(float(loss))
+        losses_torch.append(float(loss.detach()))
 
     losses_jax = np.asarray(losses_jax)
     losses_torch = np.asarray(losses_torch)
@@ -611,7 +611,7 @@ def test_feedback_trajectory_matches_torch_restatement(data):
             torch.from_numpy(b["labels"]).long(),
         )
         opt.zero_grad(); loss.backward(); opt.step()
-        losses_torch.append(float(loss))
+        losses_torch.append(float(loss.detach()))
 
     losses_jax = np.asarray(losses_jax)
     losses_torch = np.asarray(losses_torch)
@@ -713,7 +713,7 @@ def test_vanilla_transformer_trajectory_matches_torch_restatement(data):
             torch.from_numpy(b["labels"]).long(),
         )
         opt.zero_grad(); loss.backward(); opt.step()
-        losses_torch.append(float(loss))
+        losses_torch.append(float(loss.detach()))
 
     losses_jax = np.asarray(losses_jax)
     losses_torch = np.asarray(losses_torch)
@@ -775,7 +775,7 @@ def test_distillation_trajectory_matches_torch_restatement(data):
         )
         loss = F.mse_loss(h, torch.from_numpy(targets[step % 3]))
         opt.zero_grad(); loss.backward(); opt.step()
-        losses_torch.append(float(loss))
+        losses_torch.append(float(loss.detach()))
 
     losses_jax = np.asarray(losses_jax)
     losses_torch = np.asarray(losses_torch)
@@ -870,7 +870,7 @@ def test_supcon_trajectory_matches_torch_restatement(data):
         feats = torch.stack([feat[:B], feat[B:]], 1)
         loss = nll + _supcon_t(feats)
         opt.zero_grad(); loss.backward(); opt.step()
-        losses_torch.append(float(loss))
+        losses_torch.append(float(loss.detach()))
 
     losses_jax = np.asarray(losses_jax)
     losses_torch = np.asarray(losses_torch)

@@ -1,0 +1,93 @@
+"""Host input-pipeline throughput: can BatchLoader feed the device step?
+
+VERDICT r2 #5: the device step runs at ~900 img/s/chip, so the threaded
+Python loader (data/loader.py — PIL decode + host rotate + tokenize per
+sample) must sustain that rate or the epoch throughput is host-bound.
+This tool measures the loader ALONE (no device) over a full-size synthetic
+ROCO tree, sweeping num_workers, plus the --cache_images warm path.
+
+Usage:
+  python -m mmvqa_tpu.cli.make_fixtures --out /tmp/bigfix --n_train 5120 \
+      --image_size 224
+  python tools/loader_bench.py --data_dir /tmp/bigfix/roco \
+      [--workers 4 8 16 32] [--batches 30]
+
+Replaces: torch DataLoader(num_workers) tuning (roco_train.py:126-127).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--workers", type=int, nargs="+", default=[4, 8, 16, 32])
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--batches", type=int, default=30,
+                    help="timed batches per config (after 3 warmup)")
+    ap.add_argument("--cache", action="store_true", default=False,
+                    help="also time a second (warm) epoch with --cache_images")
+    args = ap.parse_args()
+
+    from mmvqa_tpu.core.config import pretrain_config
+    from mmvqa_tpu.data import (
+        BatchLoader,
+        ROCODataset,
+        get_keywords,
+        load_mlm_data,
+    )
+    from mmvqa_tpu.data.tokenizer import WordPieceTokenizer
+
+    cfg = pretrain_config(data_dir=args.data_dir, batch_size=args.batch_size)
+    tok = WordPieceTokenizer.find_and_load(cfg.data_dir, "")
+    cfg = cfg.replace(vocab_size=tok.vocab_size)
+    train_df, _ = load_mlm_data(cfg)
+    keywords = get_keywords(cfg.data_dir)
+    ds = ROCODataset(cfg, train_df, tok, keywords, "train")
+    print(f"dataset: {len(ds)} samples, batch {args.batch_size}")
+
+    def time_epochs(loader, n_epochs=1):
+        rates = []
+        for _ in range(n_epochs):
+            it = iter(loader)
+            for _ in range(3):  # warmup: fill prefetch queue
+                next(it)
+            t0 = time.time()
+            n = 0
+            for b in it:
+                n += 1
+                if n >= args.batches:
+                    break
+            dt = time.time() - t0
+            rates.append(n * args.batch_size / dt)
+        return rates
+
+    for w in args.workers:
+        loader = BatchLoader(
+            ds, args.batch_size, shuffle=True, num_workers=w, drop_last=True
+        )
+        (rate,) = time_epochs(loader)
+        print(json.dumps({"num_workers": w,
+                          "host_img_per_sec": round(rate, 1)}), flush=True)
+
+    if args.cache:
+        loader = BatchLoader(
+            ds, args.batch_size, shuffle=True, num_workers=args.workers[-1],
+            drop_last=True, cache_images=True,
+        )
+        cold, warm = time_epochs(loader, n_epochs=2)
+        print(json.dumps({"cache_images": True,
+                          "cold_img_per_sec": round(cold, 1),
+                          "warm_img_per_sec": round(warm, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,266 @@
+"""Accuracy-parity runbook: reproduce the reference's README table.
+
+The reference's headline result is the VQA-Med 2019 accuracy/BLEU table
+(/root/reference/README.md:76-89, mirrored in BASELINE.md). This tool runs
+any of those rows END TO END — (MLM or MLM+contrastive) ROCO pretrain →
+``--use_pretrained`` VQA-Med fine-tune → test-set eval (→ Grad-CAM for the
+full-pipeline config) — through the real CLI drivers with the reference
+hyperparameters, then emits a README-comparable results table.
+
+Real data is not present in this environment (VERDICT r2 "What's missing"
+#1); the day ROCO / VQA-Med 2019 / vocab.txt / pretrained checkpoints land,
+parity is one command:
+
+  python tools/parity_run.py --roco_dir <roco> --vqa_dir <vqa> \
+      --save_dir /out --vocab_file vocab.txt \
+      --cnn_checkpoint effv2m.pth --bert_checkpoint bert.pth --rows all
+
+Until then, ``--smoke`` dry-runs the same orchestration against the
+synthetic fixture tree (cli/make_fixtures) at tiny model scale — exercised
+in CI by tests/test_parity_runbook.py so the runbook cannot rot.
+
+Reference hyperparameters per row: pretrain lr 2e-5 / mlm_prob 0.15 /
+batch 16 / plateau patience 5 factor 0.1 (roco_train.py:21-61,90-91);
+fine-tune lr 1e-4 / batch 16 (48 for the dagger rows) / early-stop counter
+20 (80 for the starred row) (vqamed2019/train.py:30-81; README.md:89).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# One row per reference README table line (README.md:78-87). 'pretrain' is
+# mlm | simclr | supcon-jaccard | supcon-sbert; 'ft_batch'/'counter' carry
+# the dagger/star footnotes.
+ROWS = [
+    dict(tag="resnet152-transformer-relu-ce-mlm",
+         cnn="resnet152", arch="transformer", relu=True,
+         loss="CrossEntropyLoss", pretrain="mlm",
+         ref_acc=58.80, ref_bleu=60.74),
+    dict(tag="effv2m-transformer-relu-ce-mlm",
+         cnn="tf_efficientnetv2_m", arch="transformer", relu=True,
+         loss="CrossEntropyLoss", pretrain="mlm",
+         ref_acc=59.40, ref_bleu=61.36),
+    dict(tag="effv2m-realformer-relu-ce-mlm",
+         cnn="tf_efficientnetv2_m", arch="realformer", relu=True,
+         loss="CrossEntropyLoss", pretrain="mlm",
+         ref_acc=59.20, ref_bleu=61.52),
+    dict(tag="effv2m-realformer-serf-ce-mlm",
+         cnn="tf_efficientnetv2_m", arch="realformer", relu=False,
+         loss="CrossEntropyLoss", pretrain="mlm",
+         ref_acc=60.00, ref_bleu=62.39),
+    dict(tag="effv2m-realformer-serf-asl-mlm",
+         cnn="tf_efficientnetv2_m", arch="realformer", relu=False,
+         loss="ASLSingleLabel", pretrain="mlm",
+         ref_acc=59.80, ref_bleu=61.55),
+    dict(tag="effv2m-realformer-serf-asl-simclr",
+         cnn="tf_efficientnetv2_m", arch="realformer", relu=False,
+         loss="ASLSingleLabel", pretrain="simclr",
+         ref_acc=59.80, ref_bleu=61.50),
+    dict(tag="effv2m-realformer-serf-asl-supcon-jaccard",
+         cnn="tf_efficientnetv2_m", arch="realformer", relu=False,
+         loss="ASLSingleLabel", pretrain="supcon-jaccard",
+         ref_acc=60.20, ref_bleu=62.50),
+    dict(tag="effv2m-realformer-serf-asl-supcon-sbert",
+         cnn="tf_efficientnetv2_m", arch="realformer", relu=False,
+         loss="ASLSingleLabel", pretrain="supcon-sbert",
+         ref_acc=60.60, ref_bleu=62.98),
+    dict(tag="effv2m-realformer-serf-asl-supcon-sbert-b48",
+         cnn="tf_efficientnetv2_m", arch="realformer", relu=False,
+         loss="ASLSingleLabel", pretrain="supcon-sbert", ft_batch=48,
+         ref_acc=61.60, ref_bleu=63.72),
+    dict(tag="effv2m-realformer-serf-asl-supcon-sbert-b48-p80",
+         cnn="tf_efficientnetv2_m", arch="realformer", relu=False,
+         loss="ASLSingleLabel", pretrain="supcon-sbert", ft_batch=48,
+         counter=80, ref_acc=62.80, ref_bleu=64.32),
+]
+
+SIM_BACKEND = {"supcon-jaccard": "jaccard", "supcon-sbert":
+               "sentence_transformers", "simclr": "jaccard"}
+
+
+def _common_flags(args, smoke_model: bool) -> list:
+    fl = []
+    if args.vocab_file:
+        fl += ["--vocab_file", args.vocab_file]
+    if args.mixed_precision:
+        fl += ["--mixed_precision"]
+    if smoke_model:
+        # tiny-but-real model: same code paths, CI-sized compile
+        fl += ["--hidden_size", "64", "--n_layers", "1", "--heads", "4",
+               "--tiny_cnn", "--steps_per_call", "1", "--num_workers", "0",
+               "--batch_size", "4", "--epochs", str(args.smoke_epochs),
+               # the CI mesh is 8 virtual CPU devices and make_mesh uses
+               # all of them; 2x2x2 dp/tp/cp keeps the fixture batches (4,
+               # and batch//2=2 for the supcon loader) divisible by dp
+               # while exercising all three mesh axes in the dry run
+               "--dp_size", "2", "--tp_size", "2", "--cp_size", "2"]
+    return fl
+
+
+def run_row(row: dict, args) -> dict:
+    from mmvqa_tpu.cli import (
+        grad_cam as cli_cam,
+        roco_supcon_train,
+        roco_train,
+        vqa_eval,
+        vqa_train,
+    )
+
+    tag = row["tag"]
+    save = os.path.join(args.save_dir, tag)
+    os.makedirs(save, exist_ok=True)
+    relu = ["--use_relu"] if row["relu"] else []
+    arch = ["--cnn_encoder", row["cnn"], "--transformer_model", row["arch"],
+            "--num_vis", "5"]
+    common = _common_flags(args, args.smoke)
+
+    # 1. ROCO pretrain (roco_train.py / roco_supcon_train.py hyperparams)
+    pre_run = "pre"
+    pre = ["-r", pre_run, "--data_dir", args.roco_dir, "--save_dir", save,
+           "--mlm_prob", "0.15", "--lr", "2e-5",
+           "--hidden_size", "768"] + arch + relu + common
+    if args.smoke:
+        pre += ["--image_size", str(args.smoke_image_size),
+                "--max_position_embeddings", "24"]
+    if not args.smoke:
+        pre += ["--batch_size", str(args.pretrain_batch),
+                "--epochs", str(args.pretrain_epochs)]
+        if args.cnn_checkpoint:
+            pre += ["--cnn_checkpoint", args.cnn_checkpoint]
+        if args.bert_checkpoint:
+            pre += ["--bert_checkpoint", args.bert_checkpoint]
+    if row["pretrain"] == "mlm":
+        roco_train.main(pre)
+    else:
+        con_task = "simclr" if row["pretrain"] == "simclr" else "supcon"
+        roco_supcon_train.main(pre + [
+            "--con_task", con_task,
+            "--similarity", SIM_BACKEND[row["pretrain"]],
+        ])
+    pre_ckpt = os.path.join(save, "MLM", pre_run)
+
+    # 2. VQA-Med fine-tune with filtered transfer (vqamed2019/train.py)
+    ft_run = "ft"
+    ft = ["--run_name", ft_run, "--data_dir", args.vqa_dir,
+          "--save_dir", save, "--use_pretrained", "--model_dir", pre_ckpt,
+          "--loss", row["loss"], "--lr", "1e-4", "--hidden_size", "768",
+          "--counter", str(row.get("counter", 20)),
+          "--wandb"] + arch + relu + common
+    if args.smoke:
+        ft += ["--image_size", str(args.smoke_image_size),
+               "--max_position_embeddings", "24"]
+    else:
+        ft += ["--batch_size", str(row.get("ft_batch", 16)),
+               "--epochs", str(args.finetune_epochs)]
+    vqa_train.main(ft)
+    best_acc_ckpt = os.path.join(save, "MLM", ft_run)
+
+    # 3. Test eval + submission (vqamed2019/eval.py)
+    ev = ["--run_name", "eval", "--data_dir", args.vqa_dir,
+          "--save_dir", save, "--model_dir", best_acc_ckpt,
+          "--hidden_size", "768"] + arch + relu + common
+    if args.smoke:
+        ev += ["--image_size", str(args.smoke_image_size),
+               "--max_position_embeddings", "24"]
+    vqa_eval.main(ev)
+
+    # 4. Grad-CAM maps (full-pipeline config, BASELINE.json configs[4]).
+    # grad_cam.py has its own narrower parser — build its flags directly.
+    if row["pretrain"].startswith("supcon") and not args.no_grad_cam:
+        cam = ["--data_dir", args.vqa_dir,
+               "--save_dir", os.path.join(save, "cam"),
+               "--model_dir", best_acc_ckpt,
+               "--cnn_encoder", row["cnn"],
+               "--transformer_model", row["arch"],
+               "--num_vis", "5", "--hidden_size", "768"] + relu
+        if args.vocab_file:
+            cam += ["--vocab_file", args.vocab_file]
+        if args.cam_img:
+            cam += ["--vqa_img", args.cam_img]
+        if args.smoke:
+            cam += ["--hidden_size", "64", "--n_layers", "1", "--heads", "4",
+                    "--tiny_cnn", "--max_position_embeddings", "24",
+                    "--vqa_img", "synpic_train_organ_0.jpg"]
+        cli_cam.main(cam)
+
+    # read back the eval sink record
+    model_name = os.path.basename(best_acc_ckpt)
+    sink_path = os.path.join(save, f"testing-{model_name}_metrics.jsonl")
+    with open(sink_path) as f:
+        rec = json.loads(f.readlines()[-1])
+    return {"tag": tag, "acc": 100.0 * rec.get("total_acc", float("nan")),
+            "bleu": 100.0 * rec.get("total_bleu", float("nan")),
+            "ref_acc": row["ref_acc"], "ref_bleu": row["ref_bleu"]}
+
+
+def write_table(results: list, path: str) -> None:
+    lines = [
+        "# Parity results (tools/parity_run.py)",
+        "",
+        "Reference numbers: /root/reference/README.md:76-89 (BASELINE.md).",
+        "Parity target: accuracy within +-0.5% (BASELINE.json).",
+        "",
+        "| Row | Acc % | Ref acc % | dAcc | BLEU % | Ref BLEU % |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        d = r["acc"] - r["ref_acc"]
+        lines.append(
+            f"| {r['tag']} | {r['acc']:.2f} | {r['ref_acc']:.2f} | "
+            f"{d:+.2f} | {r['bleu']:.2f} | {r['ref_bleu']:.2f} |"
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--roco_dir", required=True)
+    ap.add_argument("--vqa_dir", required=True)
+    ap.add_argument("--save_dir", required=True)
+    ap.add_argument("--vocab_file", default="")
+    ap.add_argument("--cnn_checkpoint", default="")
+    ap.add_argument("--bert_checkpoint", default="")
+    ap.add_argument("--rows", default="all",
+                    help="'all', or comma-separated 1-based row numbers / "
+                         "tag substrings")
+    ap.add_argument("--pretrain_epochs", type=int, default=10)
+    ap.add_argument("--finetune_epochs", type=int, default=100)
+    ap.add_argument("--pretrain_batch", type=int, default=16)
+    ap.add_argument("--mixed_precision", action="store_true", default=False)
+    ap.add_argument("--no_grad_cam", action="store_true", default=False)
+    ap.add_argument("--cam_img", default="",
+                    help="image for the Grad-CAM stage (default: the "
+                         "driver's reference default synpic371.jpg)")
+    ap.add_argument("--smoke", action="store_true", default=False,
+                    help="fixture-scale dry run (tiny model, CI)")
+    ap.add_argument("--smoke_epochs", type=int, default=1)
+    ap.add_argument("--smoke_image_size", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    if args.rows == "all":
+        rows = ROWS
+    else:
+        rows = []
+        for sel in args.rows.split(","):
+            sel = sel.strip()
+            if sel.isdigit():
+                rows.append(ROWS[int(sel) - 1])
+            else:
+                rows.extend(r for r in ROWS if sel in r["tag"])
+    results = []
+    for row in rows:
+        print(f"=== parity row: {row['tag']} ===", flush=True)
+        results.append(run_row(row, args))
+    write_table(results, os.path.join(args.save_dir, "PARITY_RESULTS.md"))
+
+
+if __name__ == "__main__":
+    main()

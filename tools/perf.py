@@ -60,6 +60,7 @@ def build_run(overrides: dict, batch: int, steps: int):
     from mmvqa_tpu.train import create_train_state
 
     overrides = dict(overrides)
+    donate = bool(overrides.pop("donate", True))  # probe: copy-bucket source
     opt = overrides.pop("opt", "adam")  # probe knob: 'adam' | 'sgd'
     unroll = overrides.pop("unroll", False)  # probe: python-unrolled steps
     batch = int(overrides.pop("batch", batch))  # per-variant batch size
@@ -156,8 +157,12 @@ def build_run(overrides: dict, batch: int, steps: int):
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
         return state, loss
 
+    import functools
+
+    jit = (functools.partial(jax.jit, donate_argnums=(0,)) if donate
+           else jax.jit)
     if unroll:
-        @jax.jit
+        @jit
         def run(state, key):
             keys = jax.random.split(key, steps)
             losses = []
@@ -166,7 +171,7 @@ def build_run(overrides: dict, batch: int, steps: int):
                 losses.append(loss)
             return state, jnp.stack(losses)
     else:
-        @jax.jit
+        @jit
         def run(state, key):
             keys = jax.random.split(key, steps)
             return jax.lax.scan(one_step, state, keys)
@@ -185,7 +190,9 @@ def time_variant(run, state, steps: int, reps: int = 2):
         state, losses = run(state, jax.random.PRNGKey(2 + r))
         float(losses[-1])  # host pull sync (block_until_ready under-reports)
         times.append((time.time() - t0) / steps * 1e3)
-    return min(times), times
+    # return the live state: the input state buffers were DONATED on the
+    # first call and must not be reused by the caller
+    return min(times), times, state
 
 
 def main() -> None:
@@ -206,7 +213,7 @@ def main() -> None:
         specs.append(specs[0])  # drift check: re-time the first variant last
     for i, spec in enumerate(specs):
         run, state, vb = build_run(parse_variant(spec), args.batch, args.steps)
-        ms, times = time_variant(run, state, args.steps, args.reps)
+        ms, times, state = time_variant(run, state, args.steps, args.reps)
         tag = spec + (" [drift-check]" if i == len(specs) - 1 and i > 0 else "")
         print(json.dumps({"variant": tag, "ms_per_step": round(ms, 2),
                           "all": [round(t, 2) for t in times],
