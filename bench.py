@@ -27,12 +27,23 @@ import numpy as np
 
 A100_BASELINE_IMG_PER_SEC = 400.0
 BATCH = 128
-# Measured single-chip ceilings on THIS v5e through the axon tunnel
-# (CLAUDE.md): peak bf16 matmul throughput from a dedicated sweep, and the
-# large-op effective HBM bandwidth asymptote (512 MB ops; small ops fall on
-# a size-dependent curve down to ~40 GB/s at 8 MB — tools/bn_probe.py).
-PEAK_BF16_FLOPS = 118e12
-PEAK_HBM_BYTES_PER_SEC = 510e9
+# Chip ceilings for the roofline fields. FLOPs: v5e spec peak is 394
+# TFLOP/s bf16; the best fusion observed IN-STEP sustains 187 TFLOP/s (the
+# MLM-head matmul, trace r3) — the earlier "measured 118" (CLAUDE.md) was a
+# tunnel-benchmark artifact. Bandwidth: v5e spec HBM is 819 GB/s; the
+# repo's sweep measured a 510 GB/s large-op asymptote and the big in-step
+# fusion buckets sustain 260-660 GB/s effective (tools/trace_bytes.py) —
+# layouts and op sizes keep real graphs below spec.
+PEAK_BF16_FLOPS = 394e12
+PEAK_HBM_BYTES_PER_SEC = 819e9
+# Per-step HBM traffic measured from the full compiled-HLO op signatures of
+# this exact program (tools/hlo_bytes.py, round-3 trace; S(1) VMEM-resident
+# tensors excluded — the hot CNN maps live in the 128 MB VMEM, so real HBM
+# traffic is small and the step is COMPUTE-bound, DESIGN.md §7). Re-derive
+# after structural changes:
+#   python tools/perf.py --variants token_head=auto --profile /tmp/t
+#   python tools/hlo_bytes.py /tmp/opt_hlo.txt /tmp/t --steps 30
+MEASURED_HBM_GB_PER_STEP = 18.0
 # Dispatch+sync through the remote-device tunnel costs ~83 ms per jit CALL
 # (measured: 149.1/143.6/142.3 ms-per-step at K=10/30/60 — perfect o/K fit,
 # asymptote ~140.8); K=60 leaves <1.5 ms/step of it. Drivers super-step the
@@ -111,21 +122,19 @@ def main() -> None:
     state, losses = run(state, jax.random.PRNGKey(1))  # compile + warmup
     np.asarray(losses)
 
-    # Roofline accounting (VERDICT r2 #2): XLA's compiled cost analysis of
-    # the scanned program gives analytic FLOPs and HBM bytes; divide by the
-    # measured step time for achieved TFLOP/s / GB/s and compare against the
-    # measured chip ceilings to get the img/s the roofline permits. Runs
-    # AFTER warmup so lower().compile() hits the persistent compile cache
-    # (state was donated — lower() only traces, safe on a dead buffer ref).
+    # Roofline accounting (VERDICT r2 #2). FLOPs are counted analytically by
+    # walking the step jaxpr (utils/flops.py) — XLA's cost_analysis is
+    # unusable here: TPU conv/dot custom-calls report ZERO flops through the
+    # tunnel (it returned 118 GFLOP for a step whose MLM head alone is 1.35
+    # TFLOP). Bytes come from the compiled-HLO measurement recorded above.
     flops_step = bytes_step = None
     try:
-        ca = run.lower(state, jax.random.PRNGKey(1)).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops_step = float(ca["flops"]) / STEPS
-        bytes_step = float(ca["bytes accessed"]) / STEPS
-    except Exception as e:  # tunnel backends may not expose cost analysis
-        print(f"# cost_analysis unavailable: {e!r}", flush=True)
+        from mmvqa_tpu.utils.flops import train_step_flops
+
+        flops_step = train_step_flops(one_step, state, jax.random.PRNGKey(1))
+        bytes_step = MEASURED_HBM_GB_PER_STEP * 1e9
+    except Exception as e:
+        print(f"# flop accounting unavailable: {e!r}", flush=True)
     t0 = time.time()
     state, losses = run(state, jax.random.PRNGKey(2))
     np.asarray(losses)  # host sync

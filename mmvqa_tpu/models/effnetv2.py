@@ -48,6 +48,16 @@ FIVE_TAP_STAGES = (0, 1, 2, 4, 6)
 # bf16 accumulation over B*H*W elements loses the mean precision.
 BN_F32_STATS = True
 
+# Probe knob: express the 1x1 pointwise convs (pw_exp / pw_proj) as
+# reshape+dot_general instead of conv_general_dilated. Numerically
+# identical and checkpoint-identical (the weight keeps the conv param path
+# and (1, 1, K, C) shape via _PwKernel); the hypothesis under test is
+# LAYOUT: the TPU conv custom-calls force batch-minor layouts on their
+# operands, which is what holds the BN stat/backward fusions at ~100-260
+# GB/s effective (round-3 trace, DESIGN.md §7). Matmul outputs keep natural
+# layouts.
+PW_AS_DOT = False
+
 
 def _bn(train: bool, dtype, name: str) -> nn.BatchNorm:
     return nn.BatchNorm(
@@ -55,6 +65,35 @@ def _bn(train: bool, dtype, name: str) -> nn.BatchNorm:
         dtype=dtype, name=name,
         force_float32_reductions=BN_F32_STATS,
     )
+
+
+class _PwKernel(nn.Module):
+    """Owns a 1x1-conv weight at ``<name>/kernel`` with the nn.Conv shape
+    (1, 1, in_ch, out_ch) so PW_AS_DOT keeps checkpoints bit-compatible."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_ch, self.out_ch),
+        )
+
+
+def _pw_conv(mdl, x: jax.Array, out_ch: int, name: str) -> jax.Array:
+    """1x1 conv, as nn.Conv or (PW_AS_DOT) as a dot over the channel dim."""
+    if not PW_AS_DOT:
+        return nn.Conv(out_ch, (1, 1), use_bias=False, dtype=mdl.dtype,
+                       name=name)(x)
+    w = _PwKernel(in_ch=x.shape[-1], out_ch=out_ch, name=name)()
+    B, H, W, K = x.shape
+    y = jax.lax.dot_general(
+        x.reshape(B * H * W, K), w[0, 0].astype(mdl.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+    )
+    return y.reshape(B, H, W, out_ch)
 
 
 class SqueezeExcite(nn.Module):
@@ -82,8 +121,7 @@ class MBConv(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_ch = x.shape[-1]
         mid = in_ch * self.expand
-        h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="pw_exp")(x)
+        h = _pw_conv(self, x, mid, "pw_exp")
         h = nn.silu(_bn(train, self.dtype, "bn1")(h))
         h = nn.Conv(
             mid, (self.kernel, self.kernel), strides=(self.stride,) * 2,
@@ -96,8 +134,7 @@ class MBConv(nn.Module):
             h = SqueezeExcite(
                 max(1, int(in_ch * self.se_ratio)), dtype=self.dtype, name="se"
             )(h)
-        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="pw_proj")(h)
+        h = _pw_conv(self, h, self.out_ch, "pw_proj")
         h = _bn(train, self.dtype, "bn3")(h)
         if self.stride == 1 and in_ch == self.out_ch:
             h = h + x
@@ -128,8 +165,7 @@ class FusedMBConv(nn.Module):
                 padding="SAME", use_bias=False, dtype=self.dtype, name="conv_exp",
             )(x)
             h = nn.silu(_bn(train, self.dtype, "bn1")(h))
-            h = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                        name="pw_proj")(h)
+            h = _pw_conv(self, h, self.out_ch, "pw_proj")
             h = _bn(train, self.dtype, "bn2")(h)
         if self.stride == 1 and in_ch == self.out_ch:
             h = h + x

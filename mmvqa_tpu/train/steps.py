@@ -84,10 +84,14 @@ def _grad_norms(grads) -> dict:
     return out
 
 
-def make_multi_step(train_step_raw, steps_per_call: int):
-    """Chain ``steps_per_call`` train steps into ONE jitted program via
-    lax.scan over stacked batches (leading axis = step). Metrics come back
-    stacked per inner step.
+def make_multi_step(train_step_raw, steps_per_call: int = 0):
+    """Chain K train steps into ONE jitted program via lax.scan over
+    stacked batches (leading axis = step). Metrics come back stacked per
+    inner step. K is taken from the stacked batch's leading dimension at
+    trace time, so ONE returned function serves every group size —
+    including the end-of-epoch remainder — at one cached compile per
+    distinct K (``steps_per_call`` is kept for signature compatibility but
+    unused).
 
     This is not just an optimization here: per-dispatch execution through
     the remote device tunnel measures SECONDS per step while the identical
@@ -98,20 +102,21 @@ def make_multi_step(train_step_raw, steps_per_call: int):
 
     @partial(jax.jit, donate_argnums=(0,))
     def step_k(state: TrainState, stacked_batches, rng):
-        keys = jax.random.split(rng, steps_per_call)
+        k = jax.tree_util.tree_leaves(stacked_batches)[0].shape[0]
+        keys = jax.random.split(rng, k)
 
         def body(s, xs):
-            b, k = xs
-            return train_step_raw(s, b, k)
+            b, kk = xs
+            return train_step_raw(s, b, kk)
 
         return jax.lax.scan(body, state, (stacked_batches, keys))
 
     return step_k
 
 
-def make_multi_eval_step(eval_step_raw, steps_per_call: int):
-    """Scan ``steps_per_call`` eval steps in one dispatch (see
-    make_multi_step for why)."""
+def make_multi_eval_step(eval_step_raw, steps_per_call: int = 0):
+    """Scan K eval steps in one dispatch (see make_multi_step: K comes
+    from the stacked leading dim; remainder groups reuse this path)."""
 
     @jax.jit
     def step_k(state: TrainState, stacked_batches):

@@ -24,8 +24,19 @@ from mmvqa_tpu.core.mesh import MeshSpec
 from mmvqa_tpu.parallel.sharding import place_batch
 
 
+def _flat(xs) -> np.ndarray:
+    """Concatenate a mix of device/host scalars and (K,) stacked metric
+    arrays into one host vector. Conversion happens HERE, at epoch end:
+    pulling metrics eagerly per dispatch (worse, element-by-element via
+    ``list(device_array)``) costs a ~27 ms tunnel round-trip per value AND
+    forces a sync that serializes host batch-prep against device compute."""
+    if not xs:
+        return np.asarray([float("nan")])
+    return np.concatenate([np.atleast_1d(np.asarray(x)) for x in xs])
+
+
 def _mean(xs) -> float:
-    return float(np.mean([np.asarray(x) for x in xs])) if xs else float("nan")
+    return float(_flat(xs).mean())
 
 
 def _stack_batches(batches):
@@ -59,12 +70,10 @@ def mlm_epoch(
     n_items = 0
     t0 = time.time()
 
-    def note_gnorms(m, many=False):
+    def note_gnorms(m):
         for k, v in m.items():
             if k.startswith("gnorm/"):
-                gnorms.setdefault(k, []).extend(
-                    list(v) if many else [v]
-                )
+                gnorms.setdefault(k, []).append(v)
 
     def run_single(batch):
         nonlocal state, rng
@@ -82,38 +91,45 @@ def mlm_epoch(
 
     use_multi = multi_step_fn is not None and steps_per_call > 1
     if use_multi:
-        for group, full in _grouped(loader, steps_per_call):
+        # remainder groups (< K batches) go through the SAME scanned
+        # program — make_multi_step specializes on the stacked leading dim,
+        # so the tail costs one extra cached compile instead of per-batch
+        # dispatches (seconds each through the tunnel)
+        for group, _full in _grouped(loader, steps_per_call):
             n_items += int(sum(b["weights"].sum() for b in group))
-            if full:
-                stacked = place_batch(
-                    _stack_batches(group), mesh_spec, stacked=True
-                )
-                if train:
-                    rng, sub = jax.random.split(rng)
-                    state, m = multi_step_fn(state, stacked, sub)
-                else:
-                    m = multi_step_fn(state, stacked)
-                losses.extend(list(m["loss"]))
-                note_gnorms(m, many=True)
-                if "correct" in m:
-                    corrects.extend(list(m["correct"]))
-                    totals.extend(list(m["total"]))
+            stacked = place_batch(
+                _stack_batches(group), mesh_spec, stacked=True
+            )
+            if train:
+                rng, sub = jax.random.split(rng)
+                state, m = multi_step_fn(state, stacked, sub)
             else:
-                for b in group:
-                    run_single(b)
+                m = multi_step_fn(state, stacked)
+            losses.append(m["loss"])
+            note_gnorms(m)
+            if "correct" in m:
+                corrects.append(m["correct"])
+                totals.append(m["total"])
     else:
         for batch in loader:
             n_items += int(batch["weights"].sum())
             run_single(batch)
 
+    # pull all deferred device metrics (syncs on the last dispatch) BEFORE
+    # stopping the clock, so items_per_sec covers the full epoch
+    flat_losses = _flat(losses)
+    flat_tot = _flat(totals) if corrects else None
+    flat_cor = _flat(corrects) if corrects else None
+    flat_gnorms = {k: _flat(vs) for k, vs in gnorms.items()}
     dt = time.time() - t0
-    metrics = {"loss": _mean(losses), "items_per_sec": n_items / max(dt, 1e-9)}
+    metrics = {"loss": float(flat_losses.mean()),
+               "items_per_sec": n_items / max(dt, 1e-9)}
     if corrects:
-        tot = float(np.sum([np.asarray(t) for t in totals]))
-        cor = float(np.sum([np.asarray(c) for c in corrects]))
-        metrics["acc"] = 100.0 * cor / max(tot, 1.0)
-    for k, vs in gnorms.items():
-        metrics[k] = _mean(vs)
+        metrics["acc"] = (
+            100.0 * float(flat_cor.sum()) / max(float(flat_tot.sum()), 1.0)
+        )
+    for k, vs in flat_gnorms.items():
+        metrics[k] = float(vs.mean())
     return state, metrics
 
 
@@ -140,41 +156,27 @@ def supcon_epoch(
         b = dict(b)
         return b.pop("caption", None), b.pop("aug_caption", None), b
 
-    def record(m, many=False):
-        if many:
-            losses.extend(list(m["loss"]))
-            mlms.extend(list(m["mlm_loss"]))
-            cons.extend(list(m["supcon_loss"]))
-            corrects.extend(list(m["correct"]))
-            totals.extend(list(m["total"]))
-        else:
-            losses.append(m["loss"])
-            mlms.append(m["mlm_loss"])
-            cons.append(m["supcon_loss"])
-            corrects.append(m["correct"])
-            totals.append(m["total"])
+    def record(m):
+        losses.append(m["loss"])
+        mlms.append(m["mlm_loss"])
+        cons.append(m["supcon_loss"])
+        corrects.append(m["correct"])
+        totals.append(m["total"])
 
     use_multi = (
         multi_step_fn is not None and steps_per_call > 1
         and sim_mask_fn is None
     )
     if use_multi:
-        for group, full in _grouped(loader, steps_per_call):
+        for group, _full in _grouped(loader, steps_per_call):
             n_items += int(sum(b["weights"].sum() for b in group)) * 2
             group = [strip_text(b)[2] for b in group]
-            if full:
-                stacked = place_batch(
-                    _stack_batches(group), mesh_spec, stacked=True
-                )
-                rng, sub = jax.random.split(rng)
-                state, m = multi_step_fn(state, stacked, sub)
-                record(m, many=True)
-            else:
-                for b in group:
-                    placed = place_batch(b, mesh_spec)
-                    rng, sub = jax.random.split(rng)
-                    state, m = step_fn(state, placed, sub, None)
-                    record(m)
+            stacked = place_batch(
+                _stack_batches(group), mesh_spec, stacked=True
+            )
+            rng, sub = jax.random.split(rng)
+            state, m = multi_step_fn(state, stacked, sub)
+            record(m)
     else:
         for batch in loader:
             n_items += int(batch["weights"].sum()) * 2
@@ -186,14 +188,16 @@ def supcon_epoch(
             rng, sub = jax.random.split(rng)
             state, m = step_fn(state, batch, sub, sim_mask)
             record(m)
+    flat = {k: _flat(v) for k, v in
+            (("loss", losses), ("mlm", mlms), ("con", cons),
+             ("cor", corrects), ("tot", totals))}
     dt = time.time() - t0
-    tot = float(np.sum([np.asarray(t) for t in totals]))
-    cor = float(np.sum([np.asarray(c) for c in corrects]))
     return state, {
-        "loss": _mean(losses),
-        "mlm_loss": _mean(mlms),
-        "supcon_loss": _mean(cons),
-        "acc": 100.0 * cor / max(tot, 1.0),
+        "loss": float(flat["loss"].mean()),
+        "mlm_loss": float(flat["mlm"].mean()),
+        "supcon_loss": float(flat["con"].mean()),
+        "acc": 100.0 * float(flat["cor"].sum())
+        / max(float(flat["tot"].sum()), 1.0),
         "items_per_sec": n_items / max(dt, 1e-9),
     }
 
@@ -238,11 +242,7 @@ def vqa_epoch(
 
     use_multi = multi_step_fn is not None and steps_per_call > 1
     if use_multi:
-        for group, full in _grouped(loader, steps_per_call):
-            if not full:
-                for b in group:
-                    run_single(b)
-                continue
+        for group, _full in _grouped(loader, steps_per_call):
             for b in group:
                 note_batch(b)
             stacked = place_batch(_stack_batches(group), mesh_spec, stacked=True)
@@ -252,21 +252,32 @@ def vqa_epoch(
             else:
                 m = multi_step_fn(state, stacked)
                 if collect_logits:
-                    logits.extend(list(m["logits"]))
-            losses.extend(list(m["loss"]))
-            preds.extend(list(m["preds"]))
+                    logits.append(m["logits"])
+            losses.append(m["loss"])
+            preds.append(m["preds"])
     else:
         for batch in loader:
             run_single(batch)
 
+    # one deferred pull per collected array (see _flat), then stop the clock
+    flat_losses = _flat(losses)
+    host_preds = np.concatenate(
+        [np.asarray(p).reshape(-1) for p in preds]
+    )
+    host_logits = None
+    if collect_logits and logits:
+        host_logits = np.concatenate(
+            [np.asarray(l).reshape(-1, np.asarray(l).shape[-1])
+             for l in logits]
+        )
     dt = time.time() - t0
     w = np.concatenate(weights) > 0
     out = {
-        "loss": _mean(losses),
-        "preds": np.concatenate([np.asarray(p) for p in preds])[w],
+        "loss": float(flat_losses.mean()),
+        "preds": host_preds[w],
         "targets": np.concatenate(targets)[w],
         "items_per_sec": n_items / max(dt, 1e-9),
     }
-    if collect_logits and logits:
-        out["logits"] = np.concatenate([np.asarray(l) for l in logits])[w]
+    if host_logits is not None:
+        out["logits"] = host_logits[w]
     return state, out

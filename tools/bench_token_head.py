@@ -17,20 +17,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SHAPES = [  # (tag, B, P, K)
     ("stage0", 128, 112 * 112, 24),
     ("stage1", 128, 56 * 56, 48),
+    ("resnet_stem", 128, 112 * 112, 64),  # resnet.py shallowest tap
 ]
 STEPS = 30
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--row_block", type=int, default=0,
+                    help="override ROW_BLOCK (0 = module default)")
+    ap.add_argument("--tile", type=int, default=0,
+                    help="override max TILE_P (0 = module default)")
+    ap.add_argument("--shapes", nargs="*", default=[],
+                    help="subset of shape tags to run")
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
+    from mmvqa_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from mmvqa_tpu.ops import pallas_token_head as pth
     from mmvqa_tpu.ops.pallas_token_head import (
         fused_token_head,
         token_head_reference,
     )
 
+    if args.row_block:
+        pth.ROW_BLOCK = args.row_block
+    if args.tile:
+        pth.TILE_P = args.tile
+        pth._pick_tile.cache_clear()
+
     for tag, B, P, K in SHAPES:
+        if args.shapes and tag not in args.shapes:
+            continue
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.normal(size=(B, P, K)), jnp.bfloat16)
         w = jnp.asarray(rng.normal(size=(K, 768)) * 0.05, jnp.bfloat16)

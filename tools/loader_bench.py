@@ -54,7 +54,11 @@ def main() -> None:
     ds = ROCODataset(cfg, train_df, tok, keywords, "train")
     print(f"dataset: {len(ds)} samples, batch {args.batch_size}")
 
-    def time_epochs(loader, n_epochs=1):
+    def time_epochs(loader, n_epochs=1, full=False):
+        """full=True consumes complete epochs (required for cache timing:
+        breaking early leaves the cache partially filled and the 'warm'
+        epoch half-cold — the round-3 bug that first reported 757 img/s
+        warm when the true warm rate is ~7.5k)."""
         rates = []
         for _ in range(n_epochs):
             it = iter(loader)
@@ -64,7 +68,7 @@ def main() -> None:
             n = 0
             for b in it:
                 n += 1
-                if n >= args.batches:
+                if not full and n >= args.batches:
                     break
             dt = time.time() - t0
             rates.append(n * args.batch_size / dt)
@@ -83,7 +87,7 @@ def main() -> None:
             ds, args.batch_size, shuffle=True, num_workers=args.workers[-1],
             drop_last=True, cache_images=True,
         )
-        cold, warm = time_epochs(loader, n_epochs=2)
+        cold, warm = time_epochs(loader, n_epochs=2, full=True)
         print(json.dumps({"cache_images": True,
                           "cold_img_per_sec": round(cold, 1),
                           "warm_img_per_sec": round(warm, 1)}), flush=True)

@@ -75,6 +75,11 @@ def build_run(overrides: dict, batch: int, steps: int):
         from mmvqa_tpu.models import effnetv2
 
         effnetv2.BN_F32_STATS = bool(bn_f32)
+    pw_as_dot = overrides.pop("pw_as_dot", None)
+    if pw_as_dot is not None:
+        from mmvqa_tpu.models import effnetv2
+
+        effnetv2.PW_AS_DOT = bool(pw_as_dot)
 
     if task == "vqa":
         # fine-tune regime (vqamed2019/train.py defaults: T=28, ~332-answer
