@@ -53,14 +53,20 @@ TINY_EFFNET_ARCH = tuple(
 # same materialization without a remat barrier and measures faster.
 REMAT_TOKEN_HEAD = False
 
-# 'auto' token-head impl routes stages with H*W >= this to the Pallas
-# kernel. Round-3 retune after exact-divisor position tiling
-# (ops/pallas_token_head.py::_pick_tile): stage1 (3136 positions) now WINS
-# on pallas too — micro 3.99 vs 5.09 ms XLA, in-step A/B 139.7 vs 140.7 ms
-# (916 vs 909 img/s) — where the old fixed 2048-lane tile made it a wash
-# (23% padding). Stage 2 (784 positions) stays conv. See tools/perf.py /
-# tools/bench_token_head.py.
+# 'auto' token-head impl routes stages with H*W >= PALLAS_MIN_POSITIONS
+# AND input channels <= PALLAS_MAX_CHANNELS to the Pallas kernel. Round-3
+# retunes (tools/perf.py / tools/bench_token_head.py):
+# * exact-divisor position tiling (_pick_tile) flipped stage1 (3136
+#   positions, K=48) to pallas — micro 3.99 vs 5.09 ms XLA, in-step 139.7
+#   vs 140.7 ms (916 vs 909 img/s) — where the old fixed 2048-lane tile
+#   made it a wash (23% padding). Stage 2 (784 positions) stays conv.
+# * resnet stem (12544 positions, K=64): pallas wins micro 13.8 vs 17.3.
+# * resnet c256 tap (3136 positions, K=256): pallas LOSES in-step 168.7 vs
+#   166.7 ms — at K>=256 the MXU contraction is full and XLA's conv wins;
+#   the kernel's edge is precisely the small-K underfill regime, hence the
+#   channel cap.
 PALLAS_MIN_POSITIONS = 3000
+PALLAS_MAX_CHANNELS = 128
 
 
 class _TokenKernel(nn.Module):
@@ -119,7 +125,8 @@ class VisualTokenizer(nn.Module):
         except RuntimeError:
             single_tpu = False
         big = feat.shape[1] * feat.shape[2] >= PALLAS_MIN_POSITIONS
-        return "pallas" if (single_tpu and big) else "conv"
+        small_k = feat.shape[-1] <= PALLAS_MAX_CHANNELS
+        return "pallas" if (single_tpu and big and small_k) else "conv"
 
     def _token(self, feat: jax.Array, idx: int, always_serf: bool = False):
         """GAP(act(conv1x1(feat))) -> one hidden_size token.

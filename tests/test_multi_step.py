@@ -102,3 +102,88 @@ def test_multi_eval_step_equals_sequential(setup):
     stacked = {k: jnp.asarray(v) for k, v in batches.items()}
     m = multi(state, stacked)
     np.testing.assert_allclose([float(x) for x in m["loss"]], seq, rtol=2e-5, atol=2e-5)
+
+
+def test_multi_step_serves_remainder_group_sizes(setup):
+    """ONE make_multi_step function must serve ANY stacked leading dim (it
+    specializes per K at trace time) — the trainer round-3 fix routes
+    end-of-epoch remainder groups through it instead of per-batch
+    dispatches. Dispatching K=3 then a K=2 'remainder' must equal the
+    5-step sequential run."""
+    cfg, model, batches, variables = setup
+    _, _, train_raw, _ = make_mlm_steps(model, cfg, raw=True)
+    rng = np.random.default_rng(7)
+    five = {
+        k: np.concatenate([v, v[:2]]) if k != "weights"
+        else np.concatenate([v, np.zeros((2, B), np.float32) + 1])
+        for k, v in batches.items()
+    }
+
+    key = jax.random.PRNGKey(5)
+    k3, k2 = jax.random.split(key)
+
+    # sequential, same key threading as the epoch loop (split per group)
+    state = create_train_state(_fresh(variables), 1e-3)
+    keys = list(jax.random.split(k3, 3)) + list(jax.random.split(k2, 2))
+    for i in range(5):
+        b = {k: jnp.asarray(v[i]) for k, v in five.items()}
+        state, m = jax.jit(train_raw)(state, b, keys[i])
+    seq_leaf = np.asarray(jax.tree.leaves(state.params)[0])
+
+    # grouped: K=3 then remainder K=2 through the SAME function
+    state2 = create_train_state(_fresh(variables), 1e-3)
+    multi = make_multi_step(train_raw)
+    g1 = {k: jnp.asarray(v[:3]) for k, v in five.items()}
+    g2 = {k: jnp.asarray(v[3:5]) for k, v in five.items()}
+    state2, _ = multi(state2, g1, k3)
+    state2, _ = multi(state2, g2, k2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state2.params)[0]), seq_leaf,
+        rtol=2e-5, atol=1e-5,
+    )
+    assert int(state2.step) == 5
+
+
+def test_mlm_epoch_remainder_uses_scanned_path(setup):
+    """mlm_epoch with steps_per_call=2 over 5 batches (one remainder) must
+    match the steps_per_call=1 epoch exactly (same key threading: the epoch
+    loop splits rng once per dispatch)."""
+    from mmvqa_tpu.core.mesh import make_mesh
+    from mmvqa_tpu.train.trainer import mlm_epoch
+
+    cfg, model, batches, variables = setup
+    _, _, train_raw, _ = make_mlm_steps(model, cfg, raw=True)
+    mesh_spec = make_mesh(1, 1, 1, devices=jax.devices()[:1])
+    loader = [
+        {k: np.asarray(v[i % K]) for k, v in batches.items()}
+        for i in range(5)
+    ]
+
+    state1 = create_train_state(_fresh(variables), 1e-3)
+    multi = make_multi_step(train_raw)
+    state1, m1 = mlm_epoch(
+        jax.jit(train_raw), state1, loader, mesh_spec,
+        jax.random.PRNGKey(3), True,
+        multi_step_fn=multi, steps_per_call=2,
+    )
+
+    # reference: same grouping/key schedule executed sequentially
+    state2 = create_train_state(_fresh(variables), 1e-3)
+    rng = jax.random.PRNGKey(3)
+    losses = []
+    for g in ([0, 1], [2, 3], [4]):
+        rng, sub = jax.random.split(rng)
+        keys = jax.random.split(sub, len(g))
+        for j, i in enumerate(g):
+            b = {k: jnp.asarray(np.asarray(v[i % K]))
+                 for k, v in batches.items()}
+            state2, m = jax.jit(train_raw)(state2, b, keys[j])
+            losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(m1["loss"], np.mean(losses), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state1.params)[0]),
+        np.asarray(jax.tree.leaves(state2.params)[0]),
+        rtol=2e-5, atol=1e-5,
+    )

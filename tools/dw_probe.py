@@ -58,30 +58,38 @@ def main() -> None:
             )
 
         def fwd_loss(x_, w_):
-            return jnp.sum(dw(x_, w_).astype(jnp.float32))
+            y = dw(x_, w_).astype(jnp.float32)
+            return jnp.sum(y * y)  # nonlinear: bwd must run the real chain
 
         grad = jax.grad(fwd_loss, argnums=(0, 1))
+        eps = jnp.asarray(1e-4, jnp.bfloat16)
 
-        for name, body in (
-            ("fwd", lambda c, _x=x: (c + 1e-6, jnp.sum(
-                dw(_x + c, w).astype(jnp.float32)))),
-            ("fwd+bwd", lambda c, _x=x: (
-                c + 1e-6,
-                jnp.sum(grad(_x + c, w)[0].astype(jnp.float32)))),
-        ):
+        # carry the MAP itself so consecutive convs are data-dependent and
+        # nothing hoists out of the scan (stride-1 dw keeps x's shape)
+        def body_fwd(xc):
+            y = dw(xc, w)
+            return (xc + eps * y).astype(jnp.bfloat16), jnp.sum(
+                y.astype(jnp.float32))
+
+        def body_bwd(xc):
+            gx, gw = grad(xc, w)
+            return (xc + eps * gx.astype(jnp.bfloat16)), jnp.sum(
+                gw.astype(jnp.float32))
+
+        for name, body in (("fwd", body_fwd), ("fwd+bwd", body_bwd)):
             @jax.jit
-            def run(c0):
+            def run(x0):
                 def step(c, _):
                     for _ in range(reps):
                         c, s = body(c)
                     return c, s
 
-                return jax.lax.scan(step, c0, None, length=args.steps)
+                return jax.lax.scan(step, x0, None, length=args.steps)
 
-            c, s = run(jnp.float32(0.0))
+            c, s = run(x)
             float(s[-1])
             t0 = time.time()
-            c, s = run(jnp.float32(0.1))
+            c, s = run(x + eps)
             float(s[-1])
             ms = (time.time() - t0) / args.steps * 1e3
             elems = B * (H // stride) * (H // stride) * C

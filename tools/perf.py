@@ -216,7 +216,23 @@ def main() -> None:
     specs = list(args.variants)
     if len(specs) > 1:
         specs.append(specs[0])  # drift check: re-time the first variant last
+
+    # module-global knobs (pallas_min_p / bn_f32_stats / pw_as_dot) must not
+    # leak from one variant into the next (round-3 bug: the drift check
+    # silently re-ran with the PREVIOUS variant's PALLAS_MIN_POSITIONS)
+    from mmvqa_tpu.models import effnetv2, visual_tokens
+
+    knob_defaults = [
+        (visual_tokens, "PALLAS_MIN_POSITIONS",
+         visual_tokens.PALLAS_MIN_POSITIONS),
+        (visual_tokens, "PALLAS_MAX_CHANNELS",
+         visual_tokens.PALLAS_MAX_CHANNELS),
+        (effnetv2, "BN_F32_STATS", effnetv2.BN_F32_STATS),
+        (effnetv2, "PW_AS_DOT", effnetv2.PW_AS_DOT),
+    ]
     for i, spec in enumerate(specs):
+        for mod, attr, val in knob_defaults:
+            setattr(mod, attr, val)
         run, state, vb = build_run(parse_variant(spec), args.batch, args.steps)
         ms, times, state = time_variant(run, state, args.steps, args.reps)
         tag = spec + (" [drift-check]" if i == len(specs) - 1 and i > 0 else "")
