@@ -182,6 +182,17 @@ class FeedbackSegment(nn.Module):
         return (mem_k, mem_v, count - shift + n_valid), x
 
 
+# Unroll factor for the window scan. The recurrence is inherently
+# sequential (each 2-token window reads the memory the previous window
+# wrote — feedback_transformer_pytorch.py:275-310), so at T=75 the encoder
+# pays the per-scan-iteration dispatch floor ~38x per pass; unrolling was
+# the candidate amortization. MEASURED (v5e, B=128, K=30, tools/perf.py
+# feedback_unroll=N): unroll=2 268.8 ms vs unroll=1 263.5 ms (WORSE — the
+# floor is not loop overhead), unroll=4 OOMs HBM (16.8G > 15.75G: XLA
+# keeps each unrolled body's saved activations live). Stays 1.
+SCAN_UNROLL = 1
+
+
 class FeedbackEncoder(nn.Module):
     """Scan FeedbackSegment over windows (reference wiring mmbert.py:110-127:
     dim=hidden, depth=n_layers, seq_len=2, mem_len=256, dim_head=64, heads=8)."""
@@ -225,6 +236,7 @@ class FeedbackEncoder(nn.Module):
             split_rngs={"params": False, "dropout": True},
             in_axes=0,
             out_axes=0,
+            unroll=SCAN_UNROLL,
         )
         segs = x.reshape(B, n_seg, self.seq_len, d).transpose(1, 0, 2, 3)
         _, outs = ScanSeg(

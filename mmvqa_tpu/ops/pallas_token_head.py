@@ -111,7 +111,7 @@ ROW_BLOCK = 4
 
 
 @functools.lru_cache(maxsize=None)
-def _pick_tile(P: int) -> int:
+def _pick_tile(P: int, itemsize: int = 2) -> int:
     """Position-tile width: the multiple of 128 (lane tile) minimizing total
     padded positions, preferring wider tiles on ties (fewer programs), capped
     at TILE_P (the (C, tile) f32 intermediate must stay ~<=6 MB of VMEM).
@@ -119,10 +119,16 @@ def _pick_tile(P: int) -> int:
     Stage 0 (112*112 = 12544 = 7 * 1792) tiles EXACTLY at 1792 where the old
     fixed 2048 padded every pass by 14% (7 tiles * 2048 = 14336) — measured
     as pure waste since padding multiplies into all three MXU passes and the
-    activation VPU work."""
-    best = TILE_P
-    best_pad = (-(-P // TILE_P)) * TILE_P - P
-    for t in range(128, TILE_P + 1, 128):
+    activation VPU work.
+
+    f32 inputs (mixed_precision off) halve the cap: at tile 1792 the fwd
+    program's scoped stack measures 20.9 MB > the 16 MB limit (Mosaic
+    compile error, caught by a real-chip f32 CLI smoke); stage 0 still
+    tiles exactly at 896 (12544 = 14 * 896)."""
+    cap = TILE_P if itemsize <= 2 else TILE_P // 2
+    best = cap
+    best_pad = (-(-P // cap)) * cap - P
+    for t in range(128, cap + 1, 128):
         pad = (-(-P // t)) * t - P
         if pad < best_pad or (pad == best_pad and t > best):
             best, best_pad = t, pad
@@ -210,7 +216,7 @@ def _row_block(B: int) -> int:
 
 def _pad_positions_t(xt):
     B, K, P = xt.shape
-    tile = _pick_tile(P)
+    tile = _pick_tile(P, xt.dtype.itemsize)
     n_tiles = -(-P // tile)
     pad = n_tiles * tile - P
     if pad:

@@ -52,3 +52,21 @@ def test_full_pipeline_row_smoke(fixture_tree, tmp_path):
     assert os.path.isdir(os.path.join(tagdir, "MLM", "ft"))
     assert os.path.exists(os.path.join(tagdir, "ft_res.txt"))
     assert os.path.isdir(os.path.join(tagdir, "cam"))
+
+
+def test_row_selection_parsing():
+    """--rows accepts 'all', 1-based numbers, and tag substrings."""
+    import parity_run
+
+    assert len(parity_run.ROWS) == 10  # one per reference README table row
+    tags = [r["tag"] for r in parity_run.ROWS]
+    assert len(set(tags)) == 10
+    # every row's reference numbers match BASELINE.md's table ordering
+    assert parity_run.ROWS[0]["ref_acc"] == 58.80
+    assert parity_run.ROWS[-1]["ref_acc"] == 62.80
+    assert parity_run.ROWS[-1]["counter"] == 80
+    assert parity_run.ROWS[-1]["ft_batch"] == 48
+    # pretrain flavors cover mlm / simclr / supcon-jaccard / supcon-sbert
+    assert {r["pretrain"] for r in parity_run.ROWS} == {
+        "mlm", "simclr", "supcon-jaccard", "supcon-sbert"
+    }

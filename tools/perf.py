@@ -80,6 +80,11 @@ def build_run(overrides: dict, batch: int, steps: int):
         from mmvqa_tpu.models import effnetv2
 
         effnetv2.PW_AS_DOT = bool(pw_as_dot)
+    fb_unroll = overrides.pop("feedback_unroll", None)
+    if fb_unroll is not None:
+        from mmvqa_tpu.models import feedback
+
+        feedback.SCAN_UNROLL = int(fb_unroll)
 
     if task == "vqa":
         # fine-tune regime (vqamed2019/train.py defaults: T=28, ~332-answer
@@ -220,9 +225,10 @@ def main() -> None:
     # module-global knobs (pallas_min_p / bn_f32_stats / pw_as_dot) must not
     # leak from one variant into the next (round-3 bug: the drift check
     # silently re-ran with the PREVIOUS variant's PALLAS_MIN_POSITIONS)
-    from mmvqa_tpu.models import effnetv2, visual_tokens
+    from mmvqa_tpu.models import effnetv2, feedback, visual_tokens
 
     knob_defaults = [
+        (feedback, "SCAN_UNROLL", feedback.SCAN_UNROLL),
         (visual_tokens, "PALLAS_MIN_POSITIONS",
          visual_tokens.PALLAS_MIN_POSITIONS),
         (visual_tokens, "PALLAS_MAX_CHANNELS",
