@@ -58,6 +58,31 @@ BN_F32_STATS = True
 # layouts.
 PW_AS_DOT = False
 
+# Probe knob: stride-1 3x3 depthwise convs via the Pallas VPU kernel
+# (ops/pallas_depthwise.py) instead of the XLA conv custom-call. SETTLED
+# NEGATIVE (round 3, in-step A/B at B=128 bf16): 191.1 ms/step vs 144.1 —
+# 47 ms WORSE. The XLA convs read S(1) VMEM-resident maps (DESIGN.md §7)
+# while pallas_call materializes x/dy/dx through HBM (~50 MB each per
+# stage-4 site), so the "free the batch-minor layouts" hypothesis loses to
+# the residency it destroys. Kept as a correctness-tested probe
+# (tests/test_pallas_depthwise.py); 'auto' = Pallas on a single TPU chip,
+# True/False force. The param path and shape (dw/kernel, (3,3,1,C)) are
+# identical across impls, so checkpoints are topology-independent.
+DW_PALLAS = False
+
+
+def _dw_pallas_active() -> bool:
+    if DW_PALLAS == "auto":
+        # single-TPU-chip only, matching visual_tokens 'auto': pallas_call
+        # has no GSPMD partitioning rules, so under a multi-device mesh the
+        # XLA conv path is the right default.
+        try:
+            return (jax.devices()[0].platform == "tpu"
+                    and jax.device_count() == 1)
+        except RuntimeError:
+            return False
+    return bool(DW_PALLAS)
+
 
 def _bn(train: bool, dtype, name: str) -> nn.BatchNorm:
     return nn.BatchNorm(
@@ -80,6 +105,40 @@ class _PwKernel(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (1, 1, self.in_ch, self.out_ch),
         )
+
+
+class _DwKernel(nn.Module):
+    """Owns a depthwise-conv weight at ``<name>/kernel`` with the nn.Conv
+    feature-group shape (k, k, 1, ch) and init, so DW_PALLAS keeps
+    checkpoints bit-compatible with the XLA-conv path."""
+
+    kernel: int
+    ch: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, 1, self.ch),
+        )
+
+
+def _dw_conv(mdl, x: jax.Array, kernel: int, stride: int,
+             name: str) -> jax.Array:
+    """Depthwise conv (feature_group_count = channels), routed to the
+    Pallas kernel for the stride-1 3x3 sites when DW_PALLAS is active."""
+    ch = x.shape[-1]
+    if kernel == 3 and stride == 1 and _dw_pallas_active():
+        from mmvqa_tpu.ops.pallas_depthwise import depthwise3x3
+
+        w = _DwKernel(kernel=kernel, ch=ch, name=name)()
+        return depthwise3x3(
+            x.astype(mdl.dtype), w[:, :, 0, :].astype(mdl.dtype)
+        )
+    return nn.Conv(
+        ch, (kernel, kernel), strides=(stride, stride), padding="SAME",
+        feature_group_count=ch, use_bias=False, dtype=mdl.dtype, name=name,
+    )(x)
 
 
 def _pw_conv(mdl, x: jax.Array, out_ch: int, name: str) -> jax.Array:
@@ -123,11 +182,7 @@ class MBConv(nn.Module):
         mid = in_ch * self.expand
         h = _pw_conv(self, x, mid, "pw_exp")
         h = nn.silu(_bn(train, self.dtype, "bn1")(h))
-        h = nn.Conv(
-            mid, (self.kernel, self.kernel), strides=(self.stride,) * 2,
-            padding="SAME", feature_group_count=mid, use_bias=False,
-            dtype=self.dtype, name="dw",
-        )(h)
+        h = _dw_conv(self, h, self.kernel, self.stride, "dw")
         h = nn.silu(_bn(train, self.dtype, "bn2")(h))
         if self.se_ratio > 0:
             # timm reduces relative to the block INPUT channels

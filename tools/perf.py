@@ -80,6 +80,11 @@ def build_run(overrides: dict, batch: int, steps: int):
         from mmvqa_tpu.models import effnetv2
 
         effnetv2.PW_AS_DOT = bool(pw_as_dot)
+    dw_pallas = overrides.pop("dw_pallas", None)
+    if dw_pallas is not None:
+        from mmvqa_tpu.models import effnetv2
+
+        effnetv2.DW_PALLAS = dw_pallas
     fb_unroll = overrides.pop("feedback_unroll", None)
     if fb_unroll is not None:
         from mmvqa_tpu.models import feedback
@@ -235,6 +240,7 @@ def main() -> None:
          visual_tokens.PALLAS_MAX_CHANNELS),
         (effnetv2, "BN_F32_STATS", effnetv2.BN_F32_STATS),
         (effnetv2, "PW_AS_DOT", effnetv2.PW_AS_DOT),
+        (effnetv2, "DW_PALLAS", effnetv2.DW_PALLAS),
     ]
     for i, spec in enumerate(specs):
         for mod, attr, val in knob_defaults:
