@@ -108,6 +108,11 @@ def _act_grad(name: str, x, erf_fn=None):
 
 TILE_P = 2048  # max lane-tile width; see _pick_tile
 ROW_BLOCK = 4
+# Dtype fed to the dx/dW grad matmuls: "input" casts gact to the input
+# dtype (bf16 in the flagship — v5e MXU runs f32 contractions at a
+# fraction of the bf16 rate; measured stage-0 micro 13.6 -> 11.2 ms),
+# "f32" keeps the old full-precision operands (A/B knob, tools/perf.py).
+GACT_MM = "input"
 
 
 @functools.lru_cache(maxsize=None)
@@ -191,16 +196,23 @@ def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, *, act: str,
         )
         # g arrives pre-shaped (C, 1): broadcasts along lanes sublane-wise
         gact = _act_grad(act, s, _erf_approx) * (g_ref[r] / n_pos)
+        # Feed the grad matmuls in the INPUT dtype: on v5e the MXU runs
+        # f32 contractions at ~1/4 the bf16 rate, and the old f32 gact /
+        # f32-cast W made dx+dW the two slowest ops in the step (bf16
+        # rounding of gact is the same precision the XLA conv path's bf16
+        # grads carry; accumulation stays f32).
+        gact_mm = gact.astype(x_ref.dtype) if GACT_MM == "input" else gact
         # dx (K, TILE_P) = W (K, C) @ gact (C, TILE_P); padded columns give
         # garbage that the caller slices off
+        w_dx = w_ref[:] if GACT_MM == "input" else w_ref[:].astype(jnp.float32)
         dx_ref[r] = jax.lax.dot_general(
-            w_ref[:].astype(jnp.float32), gact,
+            w_dx, gact_mm,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dx_ref.dtype)
         # dW (K, C) += x (K, TILE_P) @ gact^T; padded columns have x=0
         dw = dw + jax.lax.dot_general(
-            x_ref[r], gact,
+            x_ref[r], gact_mm,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -32,6 +32,9 @@ def main() -> None:
                     help="override max TILE_P (0 = module default)")
     ap.add_argument("--shapes", nargs="*", default=[],
                     help="subset of shape tags to run")
+    ap.add_argument("--act", default="serf_fast",
+                    help="activation (relu isolates the VPU act cost)")
+    ap.add_argument("--impls", nargs="*", default=["pallas", "xla"])
     args = ap.parse_args()
 
     import jax
@@ -62,8 +65,11 @@ def main() -> None:
 
         for name, fn in (("pallas", fused_token_head),
                          ("xla", token_head_reference)):
+            if name not in args.impls:
+                continue
+
             def value(w_, x_):
-                return jnp.sum(fn(x_, w_, "serf_fast").astype(jnp.float32))
+                return jnp.sum(fn(x_, w_, args.act).astype(jnp.float32))
 
             grad = jax.grad(value, argnums=(0, 1))
 

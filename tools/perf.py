@@ -85,6 +85,11 @@ def build_run(overrides: dict, batch: int, steps: int):
         from mmvqa_tpu.models import effnetv2
 
         effnetv2.DW_PALLAS = dw_pallas
+    gact_mm = overrides.pop("gact_mm", None)
+    if gact_mm is not None:
+        from mmvqa_tpu.ops import pallas_token_head
+
+        pallas_token_head.GACT_MM = gact_mm
     fb_unroll = overrides.pop("feedback_unroll", None)
     if fb_unroll is not None:
         from mmvqa_tpu.models import feedback
@@ -241,6 +246,11 @@ def main() -> None:
         (effnetv2, "BN_F32_STATS", effnetv2.BN_F32_STATS),
         (effnetv2, "PW_AS_DOT", effnetv2.PW_AS_DOT),
         (effnetv2, "DW_PALLAS", effnetv2.DW_PALLAS),
+    ]
+    from mmvqa_tpu.ops import pallas_token_head
+
+    knob_defaults += [
+        (pallas_token_head, "GACT_MM", pallas_token_head.GACT_MM),
     ]
     for i, spec in enumerate(specs):
         for mod, attr, val in knob_defaults:
