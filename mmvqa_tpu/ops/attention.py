@@ -29,6 +29,14 @@ import jax.numpy as jnp
 
 NEG_BIG = 10000.0
 
+# Mesh used by the 'ring' impl (ops/ring_attention.py): set it (e.g. from
+# the trainer: attention.RING_MESH = mesh_spec.mesh) and pass impl='ring'
+# or set IMPL_DEFAULT = 'ring' to run blockwise ring attention over the
+# 'context' axis instead of GSPMD's all-gather lowering. Stays None in the
+# reference regime (T=75/28 — sequence parallelism is a no-op there).
+RING_MESH = None
+IMPL_DEFAULT = "auto"
+
 
 def _pick_impl(impl: str) -> str:
     """'auto' currently resolves to the XLA path everywhere: at the model's
@@ -36,9 +44,15 @@ def _pick_impl(impl: str) -> str:
     kernel in train fwd+bwd (7.8 vs 12.2 ms/step at B=128 on v5e). The
     Pallas kernel stays available via impl='pallas' and is numerics-tested;
     revisit if sequence lengths grow (blockwise CP, SURVEY.md §5.7)."""
-    if impl != "auto":
-        return impl
-    return "xla"
+    if impl == "auto":
+        impl = IMPL_DEFAULT
+    if impl == "auto":
+        return "xla"
+    if impl == "ring" and RING_MESH is None:
+        raise ValueError(
+            "impl='ring' needs ops.attention.RING_MESH set to the active "
+            "('data','model','context') mesh")
+    return impl
 
 
 def vanilla_attention(
@@ -58,6 +72,14 @@ def vanilla_attention(
     dropout on probabilities; probs @ v. (transformer.py:19-30)
     """
     impl = _pick_impl(impl)
+    if impl == "ring":
+        from mmvqa_tpu.ops.ring_attention import ring_vanilla_attention
+
+        return ring_vanilla_attention(
+            q, k, v, key_mask, RING_MESH,
+            dropout_rng=dropout_rng, dropout_rate=dropout_rate,
+            deterministic=deterministic,
+        )
     d = q.shape[-1]
     scores = jnp.einsum(
         "bhtd,bhsd->bhts", q, v_cast(k, q)
@@ -101,6 +123,10 @@ def realformer_attention(
         from mmvqa_tpu.ops.pallas_attention import realformer_attention_pallas
 
         return realformer_attention_pallas(q, k, v, prev, query_mask)
+    if impl == "ring":
+        from mmvqa_tpu.ops.ring_attention import ring_realformer_attention
+
+        return ring_realformer_attention(q, k, v, prev, query_mask, RING_MESH)
     e = q.shape[-1]
     scores = jnp.einsum(
         "bihe,bjhe->bijh", q, v_cast(k, q)
