@@ -48,6 +48,11 @@ def add_tpu_flags(p: argparse.ArgumentParser) -> None:
                         "stage-0 map on a single TPU chip)")
     p.add_argument("--tiny_cnn", action="store_true", default=False,
                    help="1-block-per-stage CNN trunks (smoke runs/CI only)")
+    p.add_argument("--attention_impl", type=str, default="auto",
+                   choices=["auto", "xla", "pallas", "ring"],
+                   help="attention core (ring = blockwise ring attention "
+                        "over the context mesh axis; needs seq_len %% "
+                        "cp_size == 0)")
 
 
 def pretrain_parser(supcon: bool = False) -> argparse.ArgumentParser:
@@ -201,6 +206,17 @@ def setup_runtime(cfg: Config):
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     mesh_spec = make_mesh(cfg.dp_size, cfg.tp_size, cfg.cp_size)
+    if cfg.attention_impl != "auto":
+        from mmvqa_tpu.ops import attention
+
+        if (cfg.attention_impl == "ring"
+                and cfg.max_position_embeddings % mesh_spec.context_size):
+            raise ValueError(
+                f"--attention_impl ring needs seq_len "
+                f"({cfg.max_position_embeddings}) divisible by --cp_size "
+                f"({mesh_spec.context_size})")
+        attention.IMPL_DEFAULT = cfg.attention_impl
+        attention.RING_MESH = mesh_spec.mesh
     dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     return mesh_spec, dtype
 

@@ -118,6 +118,11 @@ class Config:
     # stage-0 map on a single TPU chip, conv elsewhere (same-session A/B:
     # conv 151.9 / pallas-stage0 149.9 ms per step at B=128 bf16)
     token_head: str = "auto"
+    # attention compute core: 'auto' (XLA at reference lengths), 'xla',
+    # 'pallas' (fused kernel, long-seq escape hatch), or 'ring' (blockwise
+    # ring attention over the 'context' mesh axis, ops/ring_attention.py —
+    # O(T/cp) per-device attention memory instead of GSPMD's all-gather)
+    attention_impl: str = "auto"
     # When set, overrides EVERY dropout rate in the model (embeddings 0.1,
     # RealFormer dp1/dp2 0.1, Feedback attn/ff 0.1, BertEncoder
     # hidden_dropout_prob). Used by the offline trajectory-parity harness

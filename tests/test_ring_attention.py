@@ -243,6 +243,31 @@ def test_ring_memory_scales_vs_gspmd():
     assert t_ring * 2 < t_gspmd, (t_gspmd, t_ring)
 
 
+def test_cli_attention_impl_wiring():
+    """--attention_impl threads parser -> Config -> setup_runtime, which
+    installs IMPL_DEFAULT/RING_MESH and fail-fasts on a non-divisible
+    seq_len/cp_size combination."""
+    from mmvqa_tpu.cli import common
+
+    args = common.pretrain_parser().parse_args(
+        ["-r", "t", "--mlm_prob", "0.15", "--attention_impl", "ring",
+         "--cp_size", "2", "--dp_size", "4",
+         "--max_position_embeddings", "24"])
+    cfg = common.config_from_args(args)
+    assert cfg.attention_impl == "ring" and cfg.cp_size == 2
+
+    old_impl, old_mesh = attention.IMPL_DEFAULT, attention.RING_MESH
+    try:
+        mesh_spec, _ = common.setup_runtime(cfg)
+        assert attention.IMPL_DEFAULT == "ring"
+        assert attention.RING_MESH is mesh_spec.mesh
+        with pytest.raises(ValueError, match="divisible"):
+            common.setup_runtime(cfg.replace(max_position_embeddings=25))
+    finally:
+        attention.IMPL_DEFAULT = old_impl
+        attention.RING_MESH = old_mesh
+
+
 def test_ring_requires_divisible_T(rng):
     mesh = make_mesh(dp_size=2, tp_size=2, cp_size=2).mesh
     q = jnp.asarray(rng.normal(size=(B, H, T + 1, D)).astype(np.float32))
