@@ -80,15 +80,18 @@ def _vanilla_body(q, k, v, mask, rng, *, cp: int, dropout_rate: float,
         blk_max = jnp.max(s, axis=-1, keepdims=True)
         m_new = blk_max if m is None else jnp.maximum(m, blk_max)
         p = jnp.exp(s - m_new)
+        p_v = p
         if not deterministic and dropout_rate > 0.0:
             # per-block fold: same rate as the unsharded path, different
             # stream (documented stochastic deviation — parity tests run
-            # deterministic)
+            # deterministic). Dropout hits only the numerator (@v) path:
+            # the reference drops NORMALIZED probabilities, so the
+            # normalizer l must keep accumulating the raw exps.
             keep = jax.random.bernoulli(
                 jax.random.fold_in(rng, r), 1.0 - dropout_rate, p.shape)
-            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+            p_v = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
         pv = jnp.einsum(
-            "bhts,bhsd->bhtd", p.astype(q.dtype), v_cur
+            "bhts,bhsd->bhtd", p_v.astype(q.dtype), v_cur
         ).astype(jnp.float32)
         if m is None:
             l = jnp.sum(p, axis=-1, keepdims=True)

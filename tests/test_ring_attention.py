@@ -243,6 +243,38 @@ def test_ring_memory_scales_vs_gspmd():
     assert t_ring * 2 < t_gspmd, (t_gspmd, t_ring)
 
 
+def test_vanilla_ring_dropout_normalization(rng, monkeypatch):
+    """Dropout must hit only the numerator: the reference drops the
+    NORMALIZED softmax probabilities, so with an all-keep bernoulli the
+    output is exactly det/(1-rate). (Catches the bug class where the
+    online normalizer accumulates dropped probabilities — that form
+    returns det unscaled.)"""
+    import jax.random as jrandom
+
+    monkeypatch.setattr(
+        jax.random, "bernoulli",
+        lambda key, p=0.5, shape=None: jnp.ones(shape, bool),
+    )
+    jrandom.bernoulli  # noqa: B018 — keep the import referenced
+
+    mesh = make_mesh(dp_size=2, tp_size=2, cp_size=2).mesh
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, H, T, D)).astype(np.float32))
+        for _ in range(3)
+    )
+    mask = jnp.asarray(_mask(rng))
+    rate = 0.25
+    got = ring_vanilla_attention(
+        q, k, v, mask, mesh, dropout_rng=jax.random.PRNGKey(1),
+        dropout_rate=rate, deterministic=False,
+    )
+    det = vanilla_attention(q, k, v, mask, impl="xla")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(det) / (1.0 - rate),
+        rtol=2e-5, atol=2e-6,
+    )
+
+
 def test_cli_attention_impl_wiring():
     """--attention_impl threads parser -> Config -> setup_runtime, which
     installs IMPL_DEFAULT/RING_MESH and fail-fasts on a non-divisible
