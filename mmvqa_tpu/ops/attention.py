@@ -12,12 +12,13 @@ Two flavors, matching the reference's two encoders bit-for-bit at fp32:
   which subtracts a constant from every softmax row — i.e. the attention
   weights are unaffected by padding; only the carried score tensor changes.
 
-Both run through a single fused Pallas kernel on TPU (``impl='pallas'``)
-or a pure-XLA path (``impl='xla'``); ``impl='auto'`` resolves to XLA at the
-reference's shapes (see ``_pick_impl`` — the Pallas kernel is explicitly
-EXPERIMENTAL here: it loses at T=75, where the (B,H,T,T) probability tensor
-is only ~23 MB and XLA's batched matmuls already saturate the MXU; its
-fused form pays off only at long sequence). Numerics are tested to agree.
+Four impls: ``'xla'`` (default via ``'auto'``), ``'pallas'`` (fused
+single-program kernel — loses at T=75 where XLA's batched matmuls already
+saturate the MXU, and its VMEM-resident per-batch design caps T at ~300:
+server-side compile fails beyond that, tools/bench_attention_longseq.py),
+``'ring'`` (blockwise ring attention over the 'context' mesh axis,
+ops/ring_attention.py — THE long-sequence path), and ``'auto'`` resolving
+through ``IMPL_DEFAULT``. Numerics are tested to agree.
 """
 
 from __future__ import annotations

@@ -15,9 +15,14 @@ collectives ride neighbor-to-neighbor ICI instead of an all-gather.
 Numerics match the XLA paths in ``ops.attention`` (same -10000 finite
 masking — no -inf edge cases in the running max, same f32 softmax / input-
 dtype contraction, tolerance-level differences from the online
-renormalization only). The backward is plain autodiff through the rotation
-loop (each block's scores are saved — a rematerialized flash-style VJP is
-the long-sequence follow-up, not needed at the reference's shapes).
+renormalization only). The vanilla flavor's backward is a flash-style
+custom VJP by default: only the per-row softmax statistics (m, l) are
+saved and each block's probabilities are rematerialized inside a second
+ring pass whose dk/dv accumulators ride the rotation home with their
+blocks (``vjp='autodiff'`` keeps the plain differentiated loop). The
+RealFormer flavor stays on autodiff: its carried score tensor is itself
+O((T/cp)·T) per device, so rematerialization cannot improve the
+asymptotic.
 
 Wiring: ``ops.attention`` dispatches here for ``impl='ring'`` with an
 installed mesh (``mmvqa_tpu.ops.attention.RING_MESH``); the model code is
@@ -52,13 +57,14 @@ def _device_rng(rng):
 
 
 def _vanilla_body(q, k, v, mask, rng, *, cp: int, dropout_rate: float,
-                  deterministic: bool):
+                  deterministic: bool, with_stats: bool = False):
     """Per-shard body. q/k/v: (b, h, t_loc, d); mask: (b, t_loc).
 
     Online softmax over the cp key blocks; scores scaled in the input
     dtype then softmaxed in f32 and the probabilities cast back for the
     @v contraction — the same dtype discipline as
-    ops.attention.vanilla_attention.
+    ops.attention.vanilla_attention. ``with_stats`` additionally returns
+    the per-row softmax statistics (m, l) for the flash-style backward.
     """
     D = q.shape[-1]
     scale = jnp.sqrt(jnp.asarray(D, jnp.float32)).astype(q.dtype)
@@ -105,7 +111,106 @@ def _vanilla_body(q, k, v, mask, rng, *, cp: int, dropout_rate: float,
             k_cur = lax.ppermute(k_cur, CONTEXT_AXIS, _ring_perm(cp))
             v_cur = lax.ppermute(v_cur, CONTEXT_AXIS, _ring_perm(cp))
             mask_cur = lax.ppermute(mask_cur, CONTEXT_AXIS, _ring_perm(cp))
-    return (o / l).astype(q.dtype)
+    out = (o / l).astype(q.dtype)
+    if with_stats:
+        return out, m, l
+    return out
+
+
+def _vanilla_block_probs(q, k_cur, mask_cur, m, l, scale):
+    """Recompute one key block's NORMALIZED probabilities from the saved
+    softmax statistics (same dtype chain as the forward)."""
+    s = jnp.einsum("bhtd,bhsd->bhts", q, k_cur.astype(q.dtype)) / scale
+    s = s - (NEG_BIG * (1.0 - mask_cur.astype(s.dtype)))[:, None, None, :]
+    s = s.astype(jnp.float32)
+    return jnp.exp(s - m) / l
+
+
+def _vanilla_bwd_body(q, k, v, mask, rng, out, m, l, g, *, cp: int,
+                      dropout_rate: float, deterministic: bool):
+    """Flash-style ring backward: recompute each visiting block's
+    probabilities from (m, l) instead of saving them. The dk/dv
+    accumulators ride the ring WITH their k/v blocks (cp rotations total =
+    identity), so each block arrives home fully accumulated. Per-step
+    memory is one (Tq, Tk) block — the asymptotic win over autodiff,
+    which saves all cp blocks' probabilities.
+
+    delta = sum(g*out) equals the full-row sum(p*dp) even under dropout:
+    with P_drop = keep*p/(1-rate), sum_s p[s]*dp_norm[s] =
+    sum_s P_drop[s]*dP_drop[s] = g.out."""
+    D = q.shape[-1]
+    scale = jnp.sqrt(jnp.asarray(D, jnp.float32)).astype(q.dtype)
+    rng = _device_rng(rng)
+    drop = not deterministic and dropout_rate > 0.0
+
+    g32 = g.astype(jnp.float32)
+    delta = jnp.sum(g32 * out.astype(jnp.float32), axis=-1, keepdims=True)
+    dq = jnp.zeros(q.shape, jnp.float32)
+    k_cur, v_cur, mask_cur = k, v, mask
+    dk_cur = jnp.zeros(k.shape, jnp.float32)
+    dv_cur = jnp.zeros(v.shape, jnp.float32)
+    for r in range(cp):
+        p = _vanilla_block_probs(q, k_cur, mask_cur, m, l, scale)
+        dp = jnp.einsum("bhtd,bhsd->bhts", g32,
+                        v_cur.astype(jnp.float32))
+        if drop:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(rng, r), 1.0 - dropout_rate, p.shape)
+            p_v = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+            dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
+        else:
+            p_v = p
+        dv_cur = dv_cur + jnp.einsum("bhts,bhtd->bhsd", p_v, g32)
+        ds = p * (dp - delta)
+        dq = dq + jnp.einsum(
+            "bhts,bhsd->bhtd", ds, k_cur.astype(jnp.float32)
+        ) / scale.astype(jnp.float32)
+        dk_cur = dk_cur + jnp.einsum(
+            "bhts,bhtd->bhsd", ds, q.astype(jnp.float32)
+        ) / scale.astype(jnp.float32)
+        # rotate every iteration (cp total = identity): the accumulators
+        # arrive home exactly when their k/v blocks do
+        k_cur = lax.ppermute(k_cur, CONTEXT_AXIS, _ring_perm(cp))
+        v_cur = lax.ppermute(v_cur, CONTEXT_AXIS, _ring_perm(cp))
+        mask_cur = lax.ppermute(mask_cur, CONTEXT_AXIS, _ring_perm(cp))
+        dk_cur = lax.ppermute(dk_cur, CONTEXT_AXIS, _ring_perm(cp))
+        dv_cur = lax.ppermute(dv_cur, CONTEXT_AXIS, _ring_perm(cp))
+    return (dq.astype(q.dtype), dk_cur.astype(k.dtype),
+            dv_cur.astype(v.dtype))
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_vanilla(cp: int, dropout_rate: float, deterministic: bool):
+    """custom_vjp per-shard core (built per static config): forward saves
+    only (q, k, v, mask, rng, out, m, l) — no probability blocks."""
+
+    @jax.custom_vjp
+    def core(q, k, v, mask, rng):
+        return _vanilla_body(
+            q, k, v, mask, rng, cp=cp, dropout_rate=dropout_rate,
+            deterministic=deterministic,
+        )
+
+    def fwd(q, k, v, mask, rng):
+        out, m, l = _vanilla_body(
+            q, k, v, mask, rng, cp=cp, dropout_rate=dropout_rate,
+            deterministic=deterministic, with_stats=True,
+        )
+        return out, (q, k, v, mask, rng, out, m, l)
+
+    def bwd(res, g):
+        q, k, v, mask, rng, out, m, l = res
+        dq, dk, dv = _vanilla_bwd_body(
+            q, k, v, mask, rng, out, m, l, g, cp=cp,
+            dropout_rate=dropout_rate, deterministic=deterministic,
+        )
+        import numpy as _np
+
+        return (dq, dk, dv, jnp.zeros_like(mask),
+                _np.zeros(rng.shape, jax.dtypes.float0))
+
+    core.defvjp(fwd, bwd)
+    return core
 
 
 def ring_vanilla_attention(
@@ -118,12 +223,16 @@ def ring_vanilla_attention(
     dropout_rng: Optional[jax.Array] = None,
     dropout_rate: float = 0.0,
     deterministic: bool = True,
+    vjp: str = "flash",
 ) -> jax.Array:
     """Sequence-parallel equivalent of ops.attention.vanilla_attention.
 
     q/k/v: (B, H, T, D); key_mask: (B, T) 1=real/0=pad. The wrapper shards
     B over 'data', H over 'model' and T over 'context'; GSPMD reshards the
-    surrounding graph as needed.
+    surrounding graph as needed. ``vjp='flash'`` (default) recomputes the
+    probability blocks in the backward from saved softmax statistics —
+    O(one block) of backward memory; ``'autodiff'`` differentiates the
+    forward loop (saves every block's probabilities).
     """
     cp = mesh.shape[CONTEXT_AXIS]
     T = q.shape[2]
@@ -133,10 +242,13 @@ def ring_vanilla_attention(
         key_mask = jnp.ones(q.shape[:1] + q.shape[2:3], jnp.float32)
     if dropout_rng is None:
         dropout_rng = jax.random.PRNGKey(0)
-    body = functools.partial(
-        _vanilla_body, cp=cp, dropout_rate=dropout_rate,
-        deterministic=deterministic,
-    )
+    if vjp == "flash":
+        body = _flash_vanilla(cp, float(dropout_rate), bool(deterministic))
+    else:
+        body = functools.partial(
+            _vanilla_body, cp=cp, dropout_rate=dropout_rate,
+            deterministic=deterministic,
+        )
     qkv_spec = P(DATA_AXIS, MODEL_AXIS, CONTEXT_AXIS, None)
     return jax.shard_map(
         body,
@@ -231,6 +343,11 @@ def ring_realformer_attention(
     (B, T, T, H) carried scores, sharded over the query axis — per-device
     score memory is (T/cp)·T·H, the 1/cp scaling GSPMD's all-gather
     lowering does not give.
+
+    Backward is plain autodiff: the RealFormer's carried score tensor is
+    itself O((T/cp)·T) per device, so a flash-style rematerializing VJP
+    (see the vanilla flavor) cannot improve the asymptotic — the
+    architecture's residual-score carry IS the memory floor.
     """
     cp = mesh.shape[CONTEXT_AXIS]
     B, T, H, _ = q.shape

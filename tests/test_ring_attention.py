@@ -47,7 +47,8 @@ def test_vanilla_ring_matches_xla(rng, dp, tp, cp):
     )
 
 
-def test_vanilla_ring_gradients_match(rng):
+@pytest.mark.parametrize("vjp", ["flash", "autodiff"])
+def test_vanilla_ring_gradients_match(rng, vjp):
     mesh = make_mesh(dp_size=2, tp_size=2, cp_size=2).mesh
     q, k, v = (
         jnp.asarray(rng.normal(size=(B, H, T, D)).astype(np.float32))
@@ -59,7 +60,8 @@ def test_vanilla_ring_gradients_match(rng):
     def loss(fn):
         return lambda q, k, v: jnp.sum(fn(q, k, v) * g)
 
-    ring = loss(lambda q, k, v: ring_vanilla_attention(q, k, v, mask, mesh))
+    ring = loss(lambda q, k, v: ring_vanilla_attention(
+        q, k, v, mask, mesh, vjp=vjp))
     ref = loss(lambda q, k, v: vanilla_attention(q, k, v, mask, impl="xla"))
     for a, b in zip(
         jax.grad(ring, argnums=(0, 1, 2))(q, k, v),
@@ -68,6 +70,60 @@ def test_vanilla_ring_gradients_match(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6
         )
+
+
+def test_vanilla_ring_flash_dropout_grads_match_autodiff(rng):
+    """With dropout ACTIVE the flash backward must reproduce autodiff's
+    gradients exactly (same per-block rng folds, rematerialized keeps)."""
+    mesh = make_mesh(dp_size=2, tp_size=2, cp_size=2).mesh
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, H, T, D)).astype(np.float32))
+        for _ in range(3)
+    )
+    mask = jnp.asarray(_mask(rng))
+    g = jnp.asarray(rng.normal(size=(B, H, T, D)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    def loss(vjp):
+        return lambda q, k, v: jnp.sum(ring_vanilla_attention(
+            q, k, v, mask, mesh, dropout_rng=key, dropout_rate=0.3,
+            deterministic=False, vjp=vjp) * g)
+
+    for a, b in zip(
+        jax.grad(loss("flash"), argnums=(0, 1, 2))(q, k, v),
+        jax.grad(loss("autodiff"), argnums=(0, 1, 2))(q, k, v),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6
+        )
+
+
+def test_flash_vjp_saves_backward_memory():
+    """The flash backward must compile to less per-device temp memory than
+    the autodiff ring (which saves every block's (Tq, T) probabilities).
+
+    On XLA:CPU the margin is modest (measured ~17%): the unrolled ring
+    iterations' transient buffers are not reused across iterations on this
+    backend, so they dominate both variants; the saved-residual difference
+    (the structural win) is what this asserts. A >=2x factor is the TPU
+    expectation, unverifiable on the virtual mesh."""
+    Bm, Hm, Tm, Dm = 1, 4, 2048, 16
+    spec = make_mesh(dp_size=1, tp_size=1, cp_size=8)
+    rng = np.random.default_rng(0)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(Bm, Hm, Tm, Dm)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    def temps(vjp):
+        f = lambda q, k, v: jnp.sum(ring_vanilla_attention(  # noqa: E731
+            q, k, v, None, spec.mesh, vjp=vjp))
+        c = (jax.jit(jax.grad(f, argnums=(0, 1, 2)))
+             .lower(q, k, v).compile())
+        return c.memory_analysis().temp_size_in_bytes
+
+    t_flash, t_auto = temps("flash"), temps("autodiff")
+    assert t_flash < t_auto * 0.9, (t_flash, t_auto)
 
 
 @pytest.mark.parametrize("use_prev,use_mask", [(True, True), (False, True),
