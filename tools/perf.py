@@ -96,7 +96,18 @@ def build_run(overrides: dict, batch: int, steps: int):
 
         feedback.SCAN_UNROLL = int(fb_unroll)
 
-    if task == "vqa":
+    if task == "supcon":
+        # MLM+SupCon joint step (roco_supcon_train.py regime): the loader
+        # feeds batch//2 rows, TwoCrop restores the full batch; img/s here
+        # counts the CONCATENATED model batch for comparability
+        cfg = pretrain_config(
+            **{"cnn_encoder": "tf_efficientnetv2_m",
+               "transformer_model": "realformer",
+               "supcon": True, "con_task": "supcon",
+               "batch_size": batch, "mixed_precision": True,
+               **overrides},
+        )
+    elif task == "vqa":
         # fine-tune regime (vqamed2019/train.py defaults: T=28, ~332-answer
         # head, CE) at the same flagship width/batch
         from mmvqa_tpu.core.config import vqa_config
@@ -150,6 +161,41 @@ def build_run(overrides: dict, batch: int, steps: int):
     answers = jnp.asarray(
         rng.integers(0, max(cfg.num_classes, 2), (B,)), jnp.int32
     )
+
+    if task == "supcon":
+        from mmvqa_tpu.train.steps import make_supcon_steps
+
+        _, _, train_raw, _ = make_supcon_steps(model, cfg, raw=True)
+        B2 = B // 2
+        sc_batch = {
+            "image": raw[:B2],
+            "tokens": ids[:B2],
+            "aug_tokens": jnp.asarray(
+                rng.integers(0, cfg.vocab_size, (B2, T)), jnp.int32),
+            "segment_ids": seg[:B2],
+            "input_mask": mask[:B2],
+            "labels": labels[:B2],
+            "aug_labels": jnp.asarray(
+                (rng.integers(0, cfg.vocab_size, (B2, T))
+                 * (rng.random((B2, T)) < 0.15)).astype(np.int32)),
+            "weights": jnp.ones((B2,), jnp.float32),
+        }
+
+        def one_step(state, key):
+            state, metrics = train_raw(state, sc_batch, key, None)
+            return state, metrics["loss"]
+
+        import functools
+
+        jit = (functools.partial(jax.jit, donate_argnums=(0,)) if donate
+               else jax.jit)
+
+        @jit
+        def run(state, key):
+            keys = jax.random.split(key, steps)
+            return jax.lax.scan(one_step, state, keys)
+
+        return run, state, B
 
     def one_step(state, key):
         k1, k2 = jax.random.split(key)
