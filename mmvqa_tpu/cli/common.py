@@ -206,6 +206,9 @@ def setup_runtime(cfg: Config):
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     mesh_spec = make_mesh(cfg.dp_size, cfg.tp_size, cfg.cp_size)
+    from mmvqa_tpu.core import mesh as mesh_module
+
+    mesh_module.set_current(mesh_spec)
     if cfg.attention_impl != "auto":
         from mmvqa_tpu.ops import attention
 

@@ -20,6 +20,17 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 CONTEXT_AXIS = "context"
 
+# The process-wide active mesh, installed by cli.common.setup_runtime (or
+# tests). Modules that can wrap a Pallas kernel in shard_map when a
+# multi-device mesh is live (visual_tokens 'auto' routing) read it from
+# here; None means "no mesh installed" (single-device or library use).
+CURRENT: "Optional[MeshSpec]" = None
+
+
+def set_current(spec: "Optional[MeshSpec]") -> None:
+    global CURRENT
+    CURRENT = spec
+
 
 @dataclass(frozen=True)
 class MeshSpec:

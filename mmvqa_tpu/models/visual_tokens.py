@@ -112,21 +112,32 @@ class VisualTokenizer(nn.Module):
 
     def _resolve_impl(self, feat: jax.Array) -> str:
         """'auto' routes the LARGE early-stage maps (H*W >=
-        PALLAS_MIN_POSITIONS) to the streaming Pallas kernel on a single
-        real TPU chip and everything else to the conv form. Deep stages
-        don't amortize the kernel's position-tile padding; multi-device
-        meshes keep the conv form so XLA owns the sharding."""
+        PALLAS_MIN_POSITIONS) to the streaming Pallas kernel on TPU and
+        everything else to the conv form. Deep stages don't amortize the
+        kernel's position-tile padding. On a multi-device mesh the kernel
+        runs shard_mapped (batch over 'data', channels over 'model' —
+        fused_token_head_sharded) when the installed mesh divides the
+        shapes; otherwise the conv form keeps XLA in charge."""
         if self.token_head_impl != "auto":
             return self.token_head_impl
         try:
-            single_tpu = (
-                jax.devices()[0].platform == "tpu" and jax.device_count() == 1
-            )
+            on_tpu = jax.devices()[0].platform == "tpu"
+            single = jax.device_count() == 1
         except RuntimeError:
-            single_tpu = False
+            return "conv"
         big = feat.shape[1] * feat.shape[2] >= PALLAS_MIN_POSITIONS
-        small_k = feat.shape[-1] <= PALLAS_MAX_CHANNELS
-        return "pallas" if (single_tpu and big and small_k) else "conv"
+        if not (on_tpu and big and feat.shape[-1] <= PALLAS_MAX_CHANNELS):
+            return "conv"
+        if single:
+            return "pallas"
+        from mmvqa_tpu.core import mesh as mesh_module
+
+        spec = mesh_module.CURRENT
+        if (spec is not None
+                and feat.shape[0] % spec.data_size == 0
+                and self.hidden_size % spec.model_size == 0):
+            return "pallas_sharded"
+        return "conv"
 
     def _token(self, feat: jax.Array, idx: int, always_serf: bool = False):
         """GAP(act(conv1x1(feat))) -> one hidden_size token.
@@ -163,15 +174,24 @@ class VisualTokenizer(nn.Module):
         )()
         B, H, W, K = feat.shape
         x = feat.reshape(B, H * W, K)
-        if impl == "pallas":
+        if impl in ("pallas", "pallas_sharded"):
             from mmvqa_tpu.ops.activations import FAST_SERF_BF16
-            from mmvqa_tpu.ops.pallas_token_head import fused_token_head
+            from mmvqa_tpu.ops.pallas_token_head import (
+                fused_token_head,
+                fused_token_head_sharded,
+            )
 
             kern_act = act_name
             if (act_name == "serf" and FAST_SERF_BF16
                     and self.dtype == jnp.bfloat16):
                 kern_act = "serf_fast"  # match the bf16 conv-path numerics
-            return fused_token_head(x, w[0, 0].astype(self.dtype), kern_act)
+            wk = w[0, 0].astype(self.dtype)
+            if impl == "pallas_sharded":
+                from mmvqa_tpu.core import mesh as mesh_module
+
+                return fused_token_head_sharded(
+                    x, wk, kern_act, mesh_module.CURRENT.mesh)
+            return fused_token_head(x, wk, kern_act)
         from mmvqa_tpu.ops.pallas_token_head import token_head_reference
 
         return token_head_reference(x, w[0, 0].astype(self.dtype), act_name)

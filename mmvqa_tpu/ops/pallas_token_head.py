@@ -316,6 +316,28 @@ def _vjp_bwd(act, res, g):
 fused_token_head.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def fused_token_head_sharded(x: jax.Array, w: jax.Array, act: str, mesh):
+    """Multi-device form: partition the kernel batch-wise over 'data' and
+    output-channel-wise over 'model' with shard_map, so scale-out keeps
+    the fused kernel instead of falling back to the conv form. Each shard
+    runs the identical single-device program on its (B/dp, P, K) x
+    (K, C/tp) block — GAP and the custom VJP are per-batch/per-channel
+    local, and shard_map's transpose inserts the dW psum over 'data'
+    (w is replicated there). Requires B % dp == 0 and C % tp == 0
+    (checked by the 'auto' router)."""
+    from jax.sharding import PartitionSpec as P
+
+    from mmvqa_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+    return jax.shard_map(
+        lambda xs, ws: fused_token_head(xs, ws, act),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(None, MODEL_AXIS)),
+        out_specs=P(DATA_AXIS, MODEL_AXIS),
+        check_vma=False,
+    )(x, w)
+
+
 def token_head_reference(x, w, act: str = "serf"):
     """XLA reference path (materializes (B, P, C)) for tests/fallback."""
     s = jnp.einsum("bpk,kc->bpc", x, w).astype(jnp.float32)

@@ -92,3 +92,60 @@ def test_bf16_inputs(rng):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_sharded_kernel_matches_reference(rng):
+    """fused_token_head_sharded (dp x tp shard_map wrap) must match the
+    reference path in forward AND gradients — incl. the dW psum over
+    'data' that shard_map's transpose inserts for the replicated weight."""
+    from mmvqa_tpu.core.mesh import make_mesh
+    from mmvqa_tpu.ops.pallas_token_head import fused_token_head_sharded
+
+    mesh = make_mesh(dp_size=4, tp_size=2, cp_size=1).mesh
+    B, P, K, C = 8, 512, 24, 64
+    x = jnp.asarray(rng.normal(size=(B, P, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(K, C)).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32))
+
+    def loss(f):
+        return lambda x, w: jnp.sum(f(x, w) * g)
+
+    sh = loss(lambda x, w: fused_token_head_sharded(x, w, "serf", mesh))
+    ref = loss(lambda x, w: token_head_reference(x, w, "serf"))
+    np.testing.assert_allclose(
+        np.asarray(fused_token_head_sharded(x, w, "serf", mesh)),
+        np.asarray(token_head_reference(x, w, "serf")),
+        rtol=2e-5, atol=2e-6,
+    )
+    for a, b in zip(
+        jax.grad(sh, argnums=(0, 1))(x, w),
+        jax.grad(ref, argnums=(0, 1))(x, w),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_auto_routing_with_mesh(rng):
+    """'auto' on a multi-device mesh routes big/small-K maps to the
+    sharded pallas form only when the mesh divides batch and hidden."""
+    from mmvqa_tpu.core import mesh as mesh_module
+    from mmvqa_tpu.core.mesh import make_mesh
+    from mmvqa_tpu.models.visual_tokens import VisualTokenizer
+
+    tok = VisualTokenizer(hidden_size=64, token_head_impl="auto")
+    feat_big = jnp.zeros((8, 64, 64, 24))
+    feat_small = jnp.zeros((8, 8, 8, 24))
+    old = mesh_module.CURRENT
+    try:
+        mesh_module.set_current(make_mesh(dp_size=4, tp_size=2, cp_size=1))
+        on_tpu = jax.devices()[0].platform == "tpu"
+        want_big = "pallas_sharded" if on_tpu else "conv"
+        assert tok._resolve_impl(feat_big) == want_big
+        assert tok._resolve_impl(feat_small) == "conv"
+        # non-divisible batch falls back to conv
+        assert tok._resolve_impl(jnp.zeros((6, 64, 64, 24))) == "conv"
+        mesh_module.set_current(None)
+        assert tok._resolve_impl(feat_big) == "conv"  # no mesh installed
+    finally:
+        mesh_module.set_current(old)
