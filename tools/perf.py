@@ -64,7 +64,8 @@ def build_run(overrides: dict, batch: int, steps: int):
     opt = overrides.pop("opt", "adam")  # probe knob: 'adam' | 'sgd'
     unroll = overrides.pop("unroll", False)  # probe: python-unrolled steps
     batch = int(overrides.pop("batch", batch))  # per-variant batch size
-    task = overrides.pop("task", "mlm")  # 'mlm' | 'vqa' (fine-tune step)
+    task = overrides.pop("task", "mlm")  # 'mlm'|'vqa'|'supcon'
+    mode = overrides.pop("mode", "train")  # 'train' | 'eval' (fwd-only)
     pallas_min_p = overrides.pop("pallas_min_p", None)
     if pallas_min_p is not None:
         from mmvqa_tpu.models import visual_tokens
@@ -196,6 +197,33 @@ def build_run(overrides: dict, batch: int, steps: int):
             return jax.lax.scan(one_step, state, keys)
 
         return run, state, B
+
+    if mode == "eval":
+        # forward-only inference/eval regime (vqa_eval + the fine-tune
+        # driver's per-epoch test sweep): deterministic augment, no grads.
+        # The carried scalar feeds back into the input so the loop body
+        # can't be hoisted out of the scan (the dw_probe de-hoisting trap).
+        @jax.jit
+        def run(st, key):
+            # st must come in through the jit ARGUMENT: closing over the
+            # train state bakes ~0.5 GB of parameter constants into the
+            # program and the remote-compile request 413s.
+            def eval_one(s, _):
+                img = process_batch(raw, jax.random.PRNGKey(0),
+                                    PRETRAIN_AUG, False)
+                img = img + (s * 1e-30).astype(img.dtype)
+                out = model.apply(
+                    {"params": st.params, "batch_stats": st.batch_stats},
+                    img, ids, seg, mask,
+                    deterministic=True, train_cnn=False,
+                )
+                return jnp.sum(out.astype(jnp.float32)), ()
+
+            s, _ = jax.lax.scan(
+                eval_one, jnp.zeros((), jnp.float32), None, length=steps)
+            return st, s[None]
+
+        return run, state, batch
 
     def one_step(state, key):
         k1, k2 = jax.random.split(key)
