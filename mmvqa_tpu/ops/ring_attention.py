@@ -34,6 +34,8 @@ from __future__ import annotations
 import functools
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -204,10 +206,9 @@ def _flash_vanilla(cp: int, dropout_rate: float, deterministic: bool):
             q, k, v, mask, rng, out, m, l, g, cp=cp,
             dropout_rate=dropout_rate, deterministic=deterministic,
         )
-        import numpy as _np
-
+        # integer-dtype primal (the rng key) takes a float0 cotangent
         return (dq, dk, dv, jnp.zeros_like(mask),
-                _np.zeros(rng.shape, jax.dtypes.float0))
+                np.zeros(rng.shape, jax.dtypes.float0))
 
     core.defvjp(fwd, bwd)
     return core
