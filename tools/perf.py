@@ -217,6 +217,8 @@ def build_run(overrides: dict, batch: int, steps: int):
                     img, ids, seg, mask,
                     deterministic=True, train_cnn=False,
                 )
+                if isinstance(out, tuple):  # supcon model: (logits, feat)
+                    out = out[0]
                 return jnp.sum(out.astype(jnp.float32)), ()
 
             s, _ = jax.lax.scan(
