@@ -344,16 +344,21 @@ def test_cli_attention_impl_wiring():
     cfg = common.config_from_args(args)
     assert cfg.attention_impl == "ring" and cfg.cp_size == 2
 
+    from mmvqa_tpu.core import mesh as mesh_module
+
     old_impl, old_mesh = attention.IMPL_DEFAULT, attention.RING_MESH
+    old_current = mesh_module.CURRENT
     try:
         mesh_spec, _ = common.setup_runtime(cfg)
         assert attention.IMPL_DEFAULT == "ring"
         assert attention.RING_MESH is mesh_spec.mesh
+        assert mesh_module.CURRENT is mesh_spec
         with pytest.raises(ValueError, match="divisible"):
             common.setup_runtime(cfg.replace(max_position_embeddings=25))
     finally:
         attention.IMPL_DEFAULT = old_impl
         attention.RING_MESH = old_mesh
+        mesh_module.set_current(old_current)
 
 
 def test_ring_requires_divisible_T(rng):
