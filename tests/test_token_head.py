@@ -149,3 +149,61 @@ def test_auto_routing_with_mesh(rng):
         assert tok._resolve_impl(feat_big) == "conv"  # no mesh installed
     finally:
         mesh_module.set_current(old)
+
+
+def test_sharded_kernel_inside_full_train_step(rng):
+    """The multi-device route end to end: a full MLM train step with
+    token_head='pallas_sharded' (shard_map nested inside the GSPMD-jitted
+    step) on a DP4xTP2 mesh must match the conv-impl loss — the
+    integration the op-level test can't cover (shard_map + custom VJP
+    under jit with placed state)."""
+    from mmvqa_tpu.core import mesh as mesh_module
+    from mmvqa_tpu.core.config import pretrain_config
+    from mmvqa_tpu.core.mesh import make_mesh
+    from mmvqa_tpu.models import MMBert
+    from mmvqa_tpu.parallel.sharding import place_batch, place_state
+    from mmvqa_tpu.train.state import create_train_state
+    from mmvqa_tpu.train.steps import make_mlm_steps
+
+    B, T, S, VOCAB, HIDDEN = 8, 24, 32, 64, 32
+    base = pretrain_config(
+        cnn_encoder="tf_efficientnetv2_m",
+        transformer_model="realformer",
+        tiny_cnn=True, hidden_size=HIDDEN, n_layers=2, vocab_size=VOCAB,
+        max_position_embeddings=T, image_size=S, batch_size=B,
+        dropout_override=0.0,
+    )
+    batch = {
+        "image": rng.integers(0, 255, (B, S, S, 3), dtype=np.uint8),
+        "tokens": rng.integers(0, VOCAB, (B, T)).astype(np.int32),
+        "segment_ids": np.ones((B, T), np.int32),
+        "input_mask": np.ones((B, T), np.float32),
+        "labels": (rng.integers(1, VOCAB, (B, T))
+                   * (rng.random((B, T)) < 0.3)).astype(np.int32),
+        "weights": np.ones((B,), np.float32),
+    }
+
+    def run(cfg, placed):
+        model = MMBert(cfg)
+        init = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((B, S, S, 3), jnp.float32),
+            jnp.asarray(batch["tokens"]), jnp.asarray(batch["segment_ids"]),
+            jnp.asarray(batch["input_mask"]),
+        )
+        train_step, _ = make_mlm_steps(model, cfg)
+        spec = make_mesh(dp_size=4, tp_size=2, cp_size=1)
+        state = place_state(create_train_state(init, cfg.lr), spec)
+        state, m = train_step(state, place_batch(batch, spec),
+                              jax.random.PRNGKey(5))
+        return float(m["loss"])
+
+    spec = make_mesh(dp_size=4, tp_size=2, cp_size=1)
+    old = mesh_module.CURRENT
+    try:
+        mesh_module.set_current(spec)
+        loss_sharded = run(base.replace(token_head="pallas_sharded"), spec)
+        loss_conv = run(base.replace(token_head="conv"), spec)
+    finally:
+        mesh_module.set_current(old)
+    np.testing.assert_allclose(loss_sharded, loss_conv, rtol=2e-5, atol=2e-5)
