@@ -34,6 +34,13 @@ class BertEmbeddings(nn.Module):
             self.vocab_size, self.hidden_size, embedding_init=init,
             dtype=self.dtype, name="word_embeddings",
         )(input_ids)
+        # pin the lookup output to the (data, context) activation layout:
+        # idiomatic GSPMD hint AND a guard against a jax-0.9.0 SPMD
+        # partitioner miscompile on vocab-sharded gathers feeding
+        # row-parallel matmuls (parallel/sharding.py::constrain_batch_seq)
+        from mmvqa_tpu.parallel.sharding import constrain_batch_seq
+
+        word = constrain_batch_seq(word)
         T = input_ids.shape[-1]
         pos_table = self.param(
             "position_embeddings", init,

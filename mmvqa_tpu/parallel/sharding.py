@@ -116,6 +116,31 @@ def place_state(state, mesh_spec: MeshSpec):
     )
 
 
+def constrain_batch_seq(x: jax.Array) -> jax.Array:
+    """Pin a (B, T, ...) activation to the canonical (data, context)
+    layout via ``with_sharding_constraint`` — no-op when no mesh is active.
+
+    This is BOTH the idiomatic GSPMD hint and a live miscompile guard:
+    jax 0.9.0's SPMD partitioner computes WRONG VALUES (not float noise —
+    0.2-5.0 absolute error) for the pattern
+    ``take(table P('model'), ids P('data','context'))`` feeding a
+    row-parallel matmul under ``value_and_grad`` on a 3-axis mesh
+    (12-line repro pinned in tests/test_sharding_guard.py; found round 4
+    when the dryrun's sharded-vs-unsharded loss check tripped).
+    Constraining the lookup output to the activation layout cuts the bad
+    propagation and restores exact equality.
+    """
+    from mmvqa_tpu.core import mesh as mesh_module
+
+    spec = mesh_module.CURRENT
+    if spec is None or spec.mesh.size == 1 or x.ndim < 2:
+        return x
+    p = P("data", "context", *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(spec.mesh, p)
+    )
+
+
 # Sequence-shaped batch fields (B, T): with context parallelism (cp>1) the
 # token axis is sharded over 'context' and GSPMD inserts the attention
 # gathers (SURVEY.md §5.7). Everything else shards the batch dim only.

@@ -30,3 +30,27 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_process_globals():
+    """Save/restore the runtime's process-global knobs around EVERY test.
+
+    cli.common.setup_runtime installs mesh.CURRENT / attention.IMPL_DEFAULT
+    / attention.RING_MESH for the drivers; tests that invoke driver mains
+    (CLI wiring, runbook smokes) would otherwise leak them into unrelated
+    tests — this class of leak broke a test once via attention globals
+    (commit e19de52) and again when mesh.CURRENT started arming
+    parallel.sharding.constrain_batch_seq (ADVICE r3 #3 asked for exactly
+    this systematic guard)."""
+    from mmvqa_tpu.core import mesh as mesh_module
+    from mmvqa_tpu.ops import attention
+
+    saved = (mesh_module.CURRENT, attention.IMPL_DEFAULT,
+             attention.RING_MESH)
+    try:
+        yield
+    finally:
+        mesh_module.CURRENT = saved[0]
+        attention.IMPL_DEFAULT = saved[1]
+        attention.RING_MESH = saved[2]
