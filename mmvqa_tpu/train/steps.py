@@ -84,6 +84,37 @@ def _grad_norms(grads) -> dict:
     return out
 
 
+HIST_BINS = 64
+
+
+def _param_histograms(tree, prefix: str, bins: int = HIST_BINS) -> dict:
+    """Per-parameter histograms computed ON DEVICE: one (counts[bins], lo,
+    hi) triple per leaf — the pull is ~bins ints per parameter instead of
+    the parameter itself (a full grad-tree pull is impossible through the
+    0.4 MB/s tunnel D2H). Together with the weight histograms this is the
+    full-fidelity equivalent of ``wandb.watch(model, log='all')``
+    (roco_train.py:80), emitted at epoch end (--watch_histograms) at zero
+    per-step cost."""
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        name = "/".join(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path
+        )
+        x = leaf.astype(jnp.float32).ravel()
+        lo, hi = jnp.min(x), jnp.max(x)
+        width = jnp.maximum(hi - lo, 1e-12)
+        idx = jnp.clip(((x - lo) / width * bins).astype(jnp.int32),
+                       0, bins - 1)
+        counts = jnp.zeros((bins,), jnp.int32).at[idx].add(1)
+        out[f"{prefix}/{name}"] = (counts, lo, hi)
+    return out
+
+
+def grad_weight_histograms(grads, params) -> dict:
+    return {**_param_histograms(grads, "ghist"),
+            **_param_histograms(params, "whist")}
+
+
 def make_multi_step(train_step_raw, steps_per_call: int = 0):
     """Chain K train steps into ONE jitted program via lax.scan over
     stacked batches (leading axis = step). Metrics come back stacked per
@@ -134,7 +165,8 @@ def make_multi_eval_step(eval_step_raw, steps_per_call: int = 0):
 # ---------------------------------------------------------------------------
 
 def make_mlm_steps(
-    model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG, raw: bool = False
+    model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG, raw: bool = False,
+    histograms: bool = False,
 ):
     def train_step(state: TrainState, batch, rng):
         aug_rng, drop_rng = jax.random.split(rng)
@@ -158,6 +190,8 @@ def make_mlm_steps(
         metrics = {"loss": loss, "correct": correct, "total": total}
         if cfg.watch:
             metrics.update(_grad_norms(grads))
+        if histograms:
+            metrics.update(grad_weight_histograms(grads, state.params))
         return state, metrics
 
     def eval_step(state: TrainState, batch):
@@ -185,7 +219,8 @@ def make_mlm_steps(
 # distillation pretraining (roco_train.py:94-95)
 # ---------------------------------------------------------------------------
 
-def make_distill_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
+def make_distill_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG,
+                       histograms: bool = False, raw: bool = False):
     def train_step(state: TrainState, batch, rng):
         aug_rng, drop_rng = jax.random.split(rng)
         img = process_batch(batch["image"], aug_rng, aug, True)
@@ -210,7 +245,10 @@ def make_distill_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
             state.params
         )
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
-        return state, {"loss": loss}
+        metrics = {"loss": loss}
+        if histograms:
+            metrics.update(grad_weight_histograms(grads, state.params))
+        return state, metrics
 
     def eval_step(state: TrainState, batch):
         img = process_batch(batch["image"], jax.random.PRNGKey(0), aug, False)
@@ -226,6 +264,13 @@ def make_distill_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
         )
         return {"loss": _weighted_mean(per_sample, batch["weights"])}
 
+    if raw:
+        return (
+            jax.jit(train_step, donate_argnums=(0,)),
+            jax.jit(eval_step),
+            train_step,
+            eval_step,
+        )
     return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
 
 
@@ -234,7 +279,8 @@ def make_distill_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG):
 # ---------------------------------------------------------------------------
 
 def make_supcon_steps(
-    model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG, raw: bool = False
+    model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG, raw: bool = False,
+    histograms: bool = False,
 ):
     """Two augmented views of each image (TwoCropTransform,
     supcon_utils.py:26-32) + caption/back-translation token views,
@@ -269,10 +315,13 @@ def make_supcon_steps(
         )(state.params)
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
         correct, total = _mlm_metrics(logits, labels, w)
-        return state, {
+        metrics = {
             "loss": loss, "mlm_loss": nll, "supcon_loss": con,
             "correct": correct, "total": total,
         }
+        if histograms:
+            metrics.update(grad_weight_histograms(grads, state.params))
+        return state, metrics
 
     # validation is plain MLM (roco_supcon_train.py:174) on the supcon model,
     # whose forward returns (logits, feat)
@@ -310,15 +359,38 @@ def make_vqa_steps(
     aug: AugmentSpec = FINETUNE_AUG,
     category_smoothing_table: Optional[jnp.ndarray] = None,
     raw: bool = False,
+    histograms: bool = False,
 ):
-    """criterion select (train.py:164-174): CE | ASLSingleLabel |
-    LabelSmoothByCategory (when cfg.smoothing). Eval always uses plain CE
-    (utils.py:1261-1264 / LabelSmoothing eval branch).
+    """criterion select (train.py:163-173, smoothing takes precedence):
+    LabelSmoothByCategory (when cfg.smoothing) | CE | ASLSingleLabel.
+
+    Eval-time criterion: the reference's validate/test pass val/test logits
+    through the SAME criterion object (vqamed2019/utils.py:690-711 — ``loss
+    = criterion(logits, target)`` with ``criterion.eval()`` but no eval
+    branch in asl_singlelabel.py:23-53), so under ``--loss ASLSingleLabel``
+    the monitored val/test loss IS the ASL loss — it drives the plateau LR
+    schedule and the best-val-loss checkpoint. Only the smoothing criteria
+    branch on ``self.training``: LabelSmoothing (utils.py:196-200) and
+    LabelSmoothByCategory (utils.py:1261-1264) fall back to plain CE.
     """
     use_smoothing = cfg.smoothing is not None and category_smoothing_table is not None
     smoothing = cfg.smoothing if cfg.smoothing else 0.1
     if use_smoothing:
         category_smoothing_table = jnp.asarray(category_smoothing_table)
+
+    def _asl_per_sample(logits32, answers):
+        # per-sample form of asl_single_label (asl_singlelabel.py:23-53,
+        # gamma_pos=0 gamma_neg=4 eps=0.1) for weighted reduction
+        num_classes = logits32.shape[-1]
+        logp = jax.nn.log_softmax(logits32, axis=-1)
+        one_hot = jax.nn.one_hot(answers, num_classes, dtype=logp.dtype)
+        anti = 1.0 - one_hot
+        p = jnp.exp(logp)
+        wgt = jnp.power(
+            1.0 - p * one_hot - (1.0 - p) * anti, 4.0 * anti
+        )
+        soft = one_hot * 0.9 + 0.1 / num_classes
+        return jnp.sum(-soft * (logp * wgt), axis=-1)
 
     def criterion(logits, answers, categories):
         logits32 = logits.astype(jnp.float32)
@@ -329,22 +401,15 @@ def make_vqa_steps(
             logp = jax.nn.log_softmax(logits32, axis=-1)
             return jnp.sum(-soft * logp, axis=-1)
         if cfg.loss == "ASLSingleLabel":
-            # per-sample form of asl_single_label for weighted reduction
-            num_classes = logits.shape[-1]
-            logp = jax.nn.log_softmax(logits32, axis=-1)
-            one_hot = jax.nn.one_hot(answers, num_classes, dtype=logp.dtype)
-            anti = 1.0 - one_hot
-            p = jnp.exp(logp)
-            wgt = jnp.power(
-                1.0 - p * one_hot - (1.0 - p) * anti, 4.0 * anti
-            )
-            soft = one_hot * 0.9 + 0.1 / num_classes
-            return jnp.sum(-soft * (logp * wgt), axis=-1)
+            return _asl_per_sample(logits32, answers)
         logp = jax.nn.log_softmax(logits32, axis=-1)
         return -jnp.take_along_axis(logp, answers[:, None], axis=-1)[:, 0]
 
     def eval_criterion(logits, answers):
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logits32 = logits.astype(jnp.float32)
+        if cfg.loss == "ASLSingleLabel" and not use_smoothing:
+            return _asl_per_sample(logits32, answers)
+        logp = jax.nn.log_softmax(logits32, axis=-1)
         return -jnp.take_along_axis(logp, answers[:, None], axis=-1)[:, 0]
 
     def train_step(state: TrainState, batch, rng):
@@ -368,7 +433,10 @@ def make_vqa_steps(
         )(state.params)
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
         preds = jnp.argmax(logits, axis=-1)
-        return state, {"loss": loss, "preds": preds}
+        metrics = {"loss": loss, "preds": preds}
+        if histograms:
+            metrics.update(grad_weight_histograms(grads, state.params))
+        return state, metrics
 
     def eval_step(state: TrainState, batch):
         img = process_batch(batch["image"], jax.random.PRNGKey(0), aug, False)

@@ -403,6 +403,112 @@ def test_vqa_finetune_trajectory_matches_torch_restatement(data):
     np.testing.assert_allclose(losses_jax[0], losses_torch[0], rtol=1e-5)
 
 
+def _asl_t(logits: torch.Tensor, target: torch.Tensor) -> torch.Tensor:
+    """ASLSingleLabel restated (asl_singlelabel.py:23-53: gamma_pos=0,
+    gamma_neg=4, eps=0.1, reduction='mean')."""
+    num_classes = logits.shape[-1]
+    logp = torch.log_softmax(logits.float(), dim=-1)
+    tc = torch.zeros_like(logp).scatter_(1, target.long().unsqueeze(1), 1.0)
+    anti = 1.0 - tc
+    xs_pos = torch.exp(logp) * tc
+    xs_neg = (1.0 - torch.exp(logp)) * anti
+    w = torch.pow(1.0 - xs_pos - xs_neg, 0.0 * tc + 4.0 * anti)
+    tc_s = tc * (1.0 - 0.1) + 0.1 / num_classes
+    return (-tc_s * (logp * w)).sum(-1).mean()
+
+
+def test_vqa_asl_trajectory_and_eval_matches_torch_restatement(data):
+    """ASL fine-tune row (VERDICT r3 #1): real jitted make_vqa_steps under
+    --loss ASLSingleLabel vs the torch restatement over 20 steps — BOTH the
+    train losses AND the per-step VALIDATION losses. The reference's
+    validate passes val logits through the SAME ASL criterion
+    (vqamed2019/utils.py:690-711; asl_singlelabel.py has no eval branch),
+    and that val loss drives ReduceLROnPlateau and the best-loss
+    checkpoint, so the eval trajectory is the parity-critical one."""
+    from mmvqa_tpu.core.config import vqa_config
+    from mmvqa_tpu.train.steps import make_vqa_steps
+
+    cfg = vqa_config(
+        cnn_encoder="tf_efficientnetv2_m",
+        transformer_model="realformer",
+        tiny_cnn=True,
+        hidden_size=HIDDEN,
+        n_layers=LAYERS,
+        vocab_size=VOCAB,
+        num_classes=NUM_CLASSES,
+        max_position_embeddings=T,
+        image_size=S,
+        batch_size=B,
+        lr=LR,
+        loss="ASLSingleLabel",
+        dropout_override=0.0,
+    )
+    model = MMBert(cfg)
+    tm = TorchTrajModel(vqa_classes=NUM_CLASSES)
+    params, batch_stats = _torch_to_flax(tm)
+    state = create_train_state({"params": params, "batch_stats": batch_stats}, LR)
+    train_step, eval_step = make_vqa_steps(model, cfg, aug=NOOP_AUG)
+
+    opt = torch.optim.Adam(tm.parameters(), lr=LR)
+
+    rng = np.random.default_rng(23)
+    answers = [rng.integers(0, NUM_CLASSES, (B,)).astype(np.int32)
+               for _ in range(3)]
+    val_b = data[2]
+    val_answers = rng.integers(0, NUM_CLASSES, (B,)).astype(np.int32)
+    val_jb = {k: jnp.asarray(v) for k, v in val_b.items() if k != "labels"}
+    val_jb["answer"] = jnp.asarray(val_answers)
+    val_img_t = _img_t(val_b)
+    val_tok = torch.from_numpy(val_b["tokens"]).long()
+    val_seg = torch.from_numpy(val_b["segment_ids"]).long()
+    val_mask = torch.from_numpy(val_b["input_mask"])
+
+    tr_jax, tr_torch, ev_jax, ev_torch = [], [], [], []
+    key = jax.random.PRNGKey(29)
+    for step in range(N_STEPS):
+        b = data[step % len(data)]
+        jb = {k: jnp.asarray(v) for k, v in b.items() if k != "labels"}
+        jb["answer"] = jnp.asarray(answers[step % 3])
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, jb, sub)
+        tr_jax.append(float(metrics["loss"]))
+        ev_jax.append(float(eval_step(state, val_jb)["loss"]))
+
+        tm.train()
+        logits = tm(
+            _img_t(b),
+            torch.from_numpy(b["tokens"]).long(),
+            torch.from_numpy(b["segment_ids"]).long(),
+            torch.from_numpy(b["input_mask"]),
+        )
+        loss = _asl_t(logits, torch.from_numpy(answers[step % 3]))
+        opt.zero_grad(); loss.backward(); opt.step()
+        tr_torch.append(float(loss.detach()))
+
+        tm.eval()
+        with torch.no_grad():
+            vlogits = tm(val_img_t, val_tok, val_seg, val_mask)
+            ev_torch.append(float(_asl_t(vlogits, torch.from_numpy(val_answers))))
+        tm.train()
+
+    tr_jax, tr_torch = np.asarray(tr_jax), np.asarray(tr_torch)
+    ev_jax, ev_torch = np.asarray(ev_jax), np.asarray(ev_torch)
+    assert tr_jax[-1] < tr_jax[0]
+    np.testing.assert_allclose(
+        tr_jax, tr_torch, rtol=2e-3, atol=2e-3,
+        err_msg=f"\njax   {tr_jax}\ntorch {tr_torch}",
+    )
+    np.testing.assert_allclose(tr_jax[0], tr_torch[0], rtol=1e-5)
+    # eval-side runs on BN RUNNING stats: torch tracks the unbiased batch
+    # var, Flax the biased one — after 20 updates from matched inits the
+    # trajectories still agree within the train-side tolerance here
+    # (running stats start at converted values and move by 0.1*delta/step).
+    np.testing.assert_allclose(
+        ev_jax, ev_torch, rtol=2e-3, atol=2e-3,
+        err_msg=f"\njax   {ev_jax}\ntorch {ev_torch}",
+    )
+
+
 def _img_t(b):
     return (
         torch.from_numpy(b["image"].astype(np.float32)).permute(0, 3, 1, 2)
