@@ -139,6 +139,10 @@ class ROCODataset:
     mode: str  # 'train' | 'validation'
     two_text_views: bool = False
     rotate_deg: float = 5.0  # host half of RandomRotation (train only)
+    # optional decode cache (images.RamImageCache / DecodedImageCache) —
+    # caches ONLY the deterministic decode half; rotation/masking stay
+    # per-epoch random
+    image_cache: Optional[object] = None
     _rows: np.ndarray = field(init=False)
 
     def __post_init__(self):
@@ -181,8 +185,14 @@ class ROCODataset:
             self._teacher_fn = run
         return self._teacher_fn
 
+    def _decode(self, idx: int) -> np.ndarray:
+        if self.image_cache is not None:
+            return self.image_cache.load(self.image_path(idx),
+                                         self.cfg.image_size)
+        return load_image(self.image_path(idx), self.cfg.image_size)
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        img = load_image(self.image_path(idx), self.cfg.image_size)
+        img = self._decode(idx)
         if self.mode == "train":
             from mmvqa_tpu.data.images import random_rotate_host
 
@@ -239,6 +249,7 @@ class VQADataset:
     tokenizer: WordPieceTokenizer
     mode: str  # 'train' | 'eval' | 'test'
     rotate_deg: float = 10.0  # host half of RandomRotation (train only)
+    image_cache: Optional[object] = None  # decode cache (see ROCODataset)
     _cats2ans: Dict[str, int] = field(init=False, default_factory=dict)
 
     def __post_init__(self):
@@ -258,7 +269,11 @@ class VQADataset:
         return self.df.loc[idx, "img_id"]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        img = load_image(self.image_path(idx), self.cfg.image_size)
+        if self.image_cache is not None:
+            img = self.image_cache.load(self.image_path(idx),
+                                        self.cfg.image_size)
+        else:
+            img = load_image(self.image_path(idx), self.cfg.image_size)
         if self.mode == "train":
             from mmvqa_tpu.data.images import random_rotate_host
 

@@ -23,9 +23,12 @@ rather than crop->rotate.
 
 from __future__ import annotations
 
+import json
+import os
+import threading
 from dataclasses import dataclass
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +57,143 @@ def load_image(path: str, size: int = 224) -> np.ndarray:
     top = (nh - size) // 2
     img = img.crop((left, top, left + size, top + size))
     return np.asarray(img, np.uint8)
+
+
+class RamImageCache:
+    """In-RAM decoded-image cache (decode only — random transforms stay
+    per-epoch). Decoded ROCO at 224px is ~10 GB; the host has 125 GB."""
+
+    def __init__(self) -> None:
+        self._store: dict = {}
+        self._lock = threading.Lock()
+
+    def load(self, path: str, size: int) -> np.ndarray:
+        key = (path, size)
+        img = self._store.get(key)
+        if img is None:
+            img = load_image(path, size)
+            with self._lock:
+                self._store[key] = img
+        return img
+
+
+class DecodedImageCache:
+    """Persistent disk-backed decoded-image cache (VERDICT r3 item 3).
+
+    The deterministic decode half of the pipeline (PIL decode -> resize ->
+    center crop, uint8) runs at ~790 img/s cold on this 1-core host — below
+    the ~940 img/s device step — and ``--cache_images`` (RAM) only helps
+    epochs >= 2 *within one process*, so epoch 1 of every run was
+    host-bound. This cache makes the first epoch of every run after the
+    very first host-unbound: decoded images append to one uint8 memmap
+    (``decoded_<size>.bin``, one fixed-size slot per image) with a JSON
+    index keyed by (absolute path -> slot, mtime). Raw-byte memmap reads
+    measure ~10x faster than JPEG decode on this host (tools/loader_bench
+    --image_cache_dir).
+
+    Thread-safe within a process (the BatchLoader decodes from a thread
+    pool); single-writer across processes (concurrent training runs should
+    use distinct cache dirs, or share one AFTER it is fully built — reads
+    are lock-free). A source image whose mtime changes is treated as a
+    miss and re-appended (the stale slot leaks ~size²·3 bytes).
+
+    No reference equivalent: the reference re-decodes every epoch in
+    DataLoader workers (roco_train.py:126-127), which cannot keep up on a
+    single-core host.
+    """
+
+    INDEX_FLUSH_EVERY = 512
+
+    def __init__(self, cache_dir: str, size: int) -> None:
+        self.size = int(size)
+        os.makedirs(cache_dir, exist_ok=True)
+        self._bin_path = os.path.join(cache_dir, f"decoded_{size}.bin")
+        self._idx_path = os.path.join(cache_dir, f"decoded_{size}.idx.json")
+        self._slot_bytes = self.size * self.size * 3
+        self._lock = threading.Lock()
+        self._index: dict = {}
+        self._mm: Optional[np.memmap] = None
+        self._mm_slots = 0
+        self._puts_since_flush = 0
+
+        n_slots = (
+            os.path.getsize(self._bin_path) // self._slot_bytes
+            if os.path.exists(self._bin_path) else 0
+        )
+        if os.path.exists(self._idx_path):
+            try:
+                with open(self._idx_path) as f:
+                    idx = json.load(f)
+                if idx.get("size") == self.size:
+                    self._index = {
+                        k: tuple(v) for k, v in idx["entries"].items()
+                        if v[0] < n_slots  # drop entries past a truncated bin
+                    }
+            except (json.JSONDecodeError, KeyError, OSError):
+                self._index = {}  # corrupt index -> rebuild from scratch
+        self._n_slots = (
+            max((s + 1 for s, _ in self._index.values()), default=0)
+        )
+        self._writer = open(self._bin_path, "ab")
+        # align the append position to whole slots (a previous crash may
+        # have left a partial record)
+        self._writer.truncate(self._n_slots * self._slot_bytes)
+        import atexit
+
+        atexit.register(self.flush)
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def _read_slot(self, slot: int) -> np.ndarray:
+        if self._mm is None or slot >= self._mm_slots:
+            n = os.path.getsize(self._bin_path) // self._slot_bytes
+            self._mm = np.memmap(
+                self._bin_path, dtype=np.uint8, mode="r",
+                shape=(n, self.size, self.size, 3),
+            )
+            self._mm_slots = n
+        return np.array(self._mm[slot])  # copy out of the map
+
+    def load(self, path: str, size: int) -> np.ndarray:
+        if size != self.size:
+            return load_image(path, size)
+        key = os.path.abspath(path)
+        entry = self._index.get(key)
+        if entry is not None:
+            slot, mtime = entry
+            try:
+                if os.path.getmtime(path) == mtime:
+                    return self._read_slot(slot)
+            except OSError:
+                pass
+        img = load_image(path, size)
+        with self._lock:
+            self._writer.write(img.tobytes())
+            self._writer.flush()  # readers remap via getsize — keep it honest
+            self._index[key] = (self._n_slots, os.path.getmtime(path))
+            self._n_slots += 1
+            self._puts_since_flush += 1
+            if self._puts_since_flush >= self.INDEX_FLUSH_EVERY:
+                self._flush_locked()
+        return img
+
+    def _flush_locked(self) -> None:
+        self._writer.flush()
+        tmp = self._idx_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"size": self.size,
+                 "entries": {k: list(v) for k, v in self._index.items()}},
+                f,
+            )
+        os.replace(tmp, self._idx_path)
+        self._puts_since_flush = 0
+
+    def flush(self) -> None:
+        with self._lock:
+            if self._puts_since_flush and not self._writer.closed:
+                self._flush_locked()
 
 
 # ---------------------------------------------------------------------------

@@ -46,7 +46,19 @@ class BatchLoader:
         self.shard_count = shard_count
         self.prefetch = prefetch
         self.epoch = 0
-        self._cache: Optional[dict] = {} if cache_images else None
+        self._cache: Optional[dict] = None
+        if cache_images:
+            if (getattr(dataset, "mode", None) == "train"
+                    and hasattr(dataset, "image_cache")):
+                # sample-level caching would FREEZE the per-epoch randomness
+                # (host rotation, MLM masks, back-translation pick) — cache
+                # only the deterministic decode on the dataset instead
+                if dataset.image_cache is None:
+                    from mmvqa_tpu.data.images import RamImageCache
+
+                    dataset.image_cache = RamImageCache()
+            else:
+                self._cache = {}
 
     def __len__(self) -> int:
         n = len(self._indices())

@@ -116,3 +116,67 @@ def test_distillation_encoding_with_fake_teacher(tmp_path):
     np.testing.assert_array_equal(enc.labels[7, :], id_vals[0])
     # visual/special/pad positions carry zero vectors
     assert (enc.labels[:7] == 0).all()
+
+
+def test_cache_images_keeps_train_randomness(tmp_path):
+    """cache_images on a TRAIN dataset must cache only the decode: per-epoch
+    randomness (host rotation / MLM masks) must differ between epochs, and
+    each image must still be decoded exactly once."""
+    import mmvqa_tpu.data.images as images_mod
+    from mmvqa_tpu.core.config import pretrain_config
+    from mmvqa_tpu.data import ROCODataset
+    from mmvqa_tpu.data.fixtures import make_roco_fixture
+    from mmvqa_tpu.data.tokenizer import WordPieceTokenizer
+
+    root = make_roco_fixture(str(tmp_path / "roco"), 6, 2, seed=0, image_size=32)
+    cfg = pretrain_config(data_dir=root, image_size=32, mlm_prob=0.5,
+                          max_position_embeddings=24, batch_size=6)
+    tok = WordPieceTokenizer.find_and_load(root, "")
+    cfg = cfg.replace(vocab_size=tok.vocab_size)
+    import pandas as pd
+
+    df = pd.read_csv(f"{root}/train/radiology/traindata.csv")
+    ds = ROCODataset(cfg, df, tok, ["lung", "scan"], "train")
+
+    calls = []
+    orig = images_mod.load_image
+
+    def spy(path, size=224):
+        calls.append(path)
+        return orig(path, size)
+
+    images_mod.load_image = spy
+    try:
+        loader = BatchLoader(ds, batch_size=6, num_workers=1,
+                             cache_images=True)
+        assert loader._cache is None  # sample cache OFF for train datasets
+        assert ds.image_cache is not None
+        e1 = next(iter(loader))
+        e2 = next(iter(loader))
+    finally:
+        images_mod.load_image = orig
+    assert len(calls) == 6  # epoch 2 decoded nothing
+    # randomness is NOT frozen: rotation and/or masking differ across epochs
+    assert (not np.array_equal(e1["image"], e2["image"])
+            or not np.array_equal(e1["labels"], e2["labels"]))
+
+
+def test_cache_images_eval_dataset_keeps_sample_cache(tmp_path):
+    """Eval datasets are deterministic — full-sample caching stays."""
+    from mmvqa_tpu.core.config import pretrain_config
+    from mmvqa_tpu.data import ROCODataset
+    from mmvqa_tpu.data.fixtures import make_roco_fixture
+    from mmvqa_tpu.data.tokenizer import WordPieceTokenizer
+    import pandas as pd
+
+    root = make_roco_fixture(str(tmp_path / "roco"), 4, 4, seed=0, image_size=32)
+    cfg = pretrain_config(data_dir=root, image_size=32, mlm_prob=0.5,
+                          max_position_embeddings=24, batch_size=4)
+    tok = WordPieceTokenizer.find_and_load(root, "")
+    cfg = cfg.replace(vocab_size=tok.vocab_size)
+    df = pd.read_csv(f"{root}/validation/radiology/valdata.csv")
+    ds = ROCODataset(cfg, df, tok, ["lung"], "validation")
+    loader = BatchLoader(ds, batch_size=4, num_workers=1, cache_images=True)
+    assert loader._cache is not None
+    list(loader)
+    assert len(loader._cache) == 4

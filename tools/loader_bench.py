@@ -35,6 +35,9 @@ def main() -> None:
                     help="timed batches per config (after 3 warmup)")
     ap.add_argument("--cache", action="store_true", default=False,
                     help="also time a second (warm) epoch with --cache_images")
+    ap.add_argument("--image_cache_dir", default="",
+                    help="also time the persistent disk-backed decode cache "
+                         "(build epoch + fresh-process cold epoch)")
     args = ap.parse_args()
 
     from mmvqa_tpu.core.config import pretrain_config
@@ -91,6 +94,31 @@ def main() -> None:
         print(json.dumps({"cache_images": True,
                           "cold_img_per_sec": round(cold, 1),
                           "warm_img_per_sec": round(warm, 1)}), flush=True)
+
+    if args.image_cache_dir:
+        # persistent disk cache (VERDICT r3 #3): epoch 1 BUILDS the cache
+        # (decode + memmap append), epoch 2 simulates the next process's
+        # FIRST epoch (fresh cache instance reading the memmap)
+        from mmvqa_tpu.data.images import DecodedImageCache
+
+        ds.image_cache = DecodedImageCache(
+            args.image_cache_dir, cfg.image_size
+        )
+        loader = BatchLoader(
+            ds, args.batch_size, shuffle=True, num_workers=args.workers[-1],
+            drop_last=True,
+        )
+        (build,) = time_epochs(loader, n_epochs=1, full=True)
+        ds.image_cache.flush()
+        ds.image_cache = DecodedImageCache(  # fresh process analog
+            args.image_cache_dir, cfg.image_size
+        )
+        (cold_cached,) = time_epochs(loader, n_epochs=1, full=True)
+        print(json.dumps({
+            "image_cache_dir": args.image_cache_dir,
+            "build_epoch_img_per_sec": round(build, 1),
+            "cold_epoch_from_disk_img_per_sec": round(cold_cached, 1),
+        }), flush=True)
 
 
 if __name__ == "__main__":
