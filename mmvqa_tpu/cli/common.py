@@ -27,7 +27,12 @@ def add_tpu_flags(p: argparse.ArgumentParser) -> None:
                    help="context(sequence)-parallel mesh size (no-op at the "
                         "reference sequence lengths; shards the token axis)")
     p.add_argument("--cache_images", action="store_true", default=False,
-                   help="cache decoded images in RAM")
+                   help="cache decoded images in RAM (train datasets cache "
+                        "only the decode; per-epoch randomness is kept)")
+    p.add_argument("--image_cache_dir", type=str, default="",
+                   help="persistent disk-backed decoded-image cache (uint8 "
+                        "memmap keyed by path+size) — makes EVERY epoch "
+                        "incl. the first host-unbound after one build")
     p.add_argument("--profile_dir", type=str, default="",
                    help="jax.profiler trace output dir")
     p.add_argument("--debug_nans", action="store_true", default=False)
@@ -39,13 +44,17 @@ def add_tpu_flags(p: argparse.ArgumentParser) -> None:
                         "tf_efficientnetv2_m) to import as the CNN trunk")
     p.add_argument("--bert_checkpoint", type=str, default="",
                    help="HF bert state_dict to import as the embedding table")
-    p.add_argument("--steps_per_call", type=int, default=32,
+    p.add_argument("--steps_per_call", type=int, default=60,
                    help="chain K train steps into one jit dispatch (scan); "
-                        "amortizes the ~83 ms per-dispatch tunnel overhead")
+                        "amortizes the ~83 ms per-dispatch tunnel overhead "
+                        "(measured K-sweep: 149.1/143.6/142.3 ms/step at "
+                        "K=10/30/60 — 60 is the settled sweet spot)")
     p.add_argument("--token_head", type=str, default="auto",
-                   choices=["auto", "conv", "einsum", "pallas"],
+                   choices=["auto", "conv", "einsum", "pallas",
+                            "pallas_sharded"],
                    help="visual-token head impl (auto = Pallas for the "
-                        "stage-0 map on a single TPU chip)")
+                        "stage-0 map on a single TPU chip, or the "
+                        "shard_map'd kernel on a multi-chip dp/tp mesh)")
     p.add_argument("--tiny_cnn", action="store_true", default=False,
                    help="1-block-per-stage CNN trunks (smoke runs/CI only)")
     p.add_argument("--attention_impl", type=str, default="auto",
@@ -109,6 +118,13 @@ def pretrain_parser(supcon: bool = False) -> argparse.ArgumentParser:
                    choices=["transformer", "realformer", "feedback-transformer"])
     p.add_argument("--num_vis", type=int, default=5)
     p.add_argument("--use_relu", action="store_true", default=False)
+    # wandb.watch(model, log='all') equivalents (roco_train.py:80):
+    # per-module grad-norm scalars from the compiled step / per-parameter
+    # grad+weight histograms at epoch end
+    p.add_argument("--watch", action="store_true", default=False)
+    p.add_argument("--watch_histograms", action="store_true", default=False,
+                   help="per-parameter grad/weight histograms at epoch end "
+                        "(full wandb.watch log='all' fidelity)")
     # additive (the reference hard-codes 224 in its transforms,
     # roco_train.py:100-114); lets smoke runs use small images
     p.add_argument("--image_size", type=int, default=224)
@@ -164,6 +180,10 @@ def vqa_parser(eval_only: bool = False) -> argparse.ArgumentParser:
         # wandb.watch(model, log='all') equivalent (roco_train.py:80):
         # per-module grad-norm scalars from the train step into the sink
         p.add_argument("--watch", action="store_true", default=False)
+        p.add_argument("--watch_histograms", action="store_true",
+                       default=False,
+                       help="per-parameter grad/weight histograms at epoch "
+                            "end (full wandb.watch log='all' fidelity)")
         p.add_argument("--save_model_epoch", type=int, default=4)
     p.add_argument("--task", type=str, default="MLM",
                    choices=["MLM", "distillation"])
@@ -202,6 +222,7 @@ def setup_runtime(cfg: Config):
     from mmvqa_tpu.core.cache import enable_compilation_cache
     from mmvqa_tpu.core.mesh import make_mesh
 
+    cfg.validate()  # fail fast with a readable error, not a reshape crash
     enable_compilation_cache()
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -219,9 +240,78 @@ def setup_runtime(cfg: Config):
                 f"({cfg.max_position_embeddings}) divisible by --cp_size "
                 f"({mesh_spec.context_size})")
         attention.IMPL_DEFAULT = cfg.attention_impl
-        attention.RING_MESH = mesh_spec.mesh
+        # only the ring impl consumes RING_MESH; leaving it set for
+        # xla/pallas leaked process-global state across tests once
+        # (commit e19de52) — scope it to the impl that needs it
+        if cfg.attention_impl == "ring":
+            attention.RING_MESH = mesh_spec.mesh
     dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     return mesh_spec, dtype
+
+
+def make_hist_logger(cfg: Config, model, mesh_spec, batch,
+                     kind: str, smoothing_table=None):
+    """--watch_histograms: returns fn(state, rng) -> {name: (counts, lo,
+    hi)} of per-parameter grad + weight histograms, or None when off.
+
+    Runs ONE extra UNdonated train step per epoch on a pinned batch purely
+    for its gradients (the updated state is discarded — training dynamics
+    are untouched); histograms are binned device-side so the host pull is
+    ~bins ints per parameter (train/steps.py::grad_weight_histograms).
+    Reference: wandb.watch(model, log='all') per-parameter histograms
+    (roco_train.py:80).
+    """
+    if not cfg.watch_histograms:
+        return None
+    import jax
+
+    from mmvqa_tpu.parallel.sharding import place_batch
+    from mmvqa_tpu.train import steps as steps_mod
+
+    if kind == "mlm":
+        *_, hist_raw, _ = steps_mod.make_mlm_steps(
+            model, cfg, raw=True, histograms=True
+        )
+    elif kind == "supcon":
+        *_, hist_raw, _ = steps_mod.make_supcon_steps(
+            model, cfg, raw=True, histograms=True
+        )
+    elif kind == "vqa":
+        *_, hist_raw, _ = steps_mod.make_vqa_steps(
+            model, cfg, category_smoothing_table=smoothing_table,
+            raw=True, histograms=True,
+        )
+    elif kind == "distill":
+        *_, hist_raw, _ = steps_mod.make_distill_steps(
+            model, cfg, raw=True, histograms=True
+        )
+    else:
+        raise ValueError(f"unknown hist kind {kind!r}")
+    placed = place_batch(
+        {k: v for k, v in batch.items() if not isinstance(v, list)},
+        mesh_spec,
+    )
+    fn = jax.jit(hist_raw)  # NO buffer donation: state is reused afterwards
+
+    def run(state, rng):
+        _, m = fn(state, placed, rng)
+        return {k: v for k, v in m.items()
+                if k.startswith(("ghist/", "whist/"))}
+
+    return run
+
+
+def make_image_cache(cfg: Config):
+    """--image_cache_dir -> one persistent DecodedImageCache (or None),
+    shared by every dataset of the run (keyed by path+size internally)."""
+    if not cfg.image_cache_dir:
+        return None
+    from mmvqa_tpu.data.images import DecodedImageCache
+
+    cache = DecodedImageCache(cfg.image_cache_dir, cfg.image_size)
+    print(f"[mmvqa] decoded-image cache: {cfg.image_cache_dir} "
+          f"({len(cache)} images present)")
+    return cache
 
 
 def load_tokenizer(cfg: Config):

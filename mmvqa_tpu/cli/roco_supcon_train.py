@@ -63,10 +63,15 @@ def main(argv: Optional[list] = None) -> None:
     print("Similarity", cfg.similarity, "| con_task", cfg.con_task,
           "| mask wired into loss:", cfg.use_sim_mask)
 
+    from mmvqa_tpu.cli.common import make_image_cache
+
+    img_cache = make_image_cache(cfg)
     train_ds = ROCODataset(
-        cfg, train_df, tok, keywords, "train", two_text_views=True
+        cfg, train_df, tok, keywords, "train", two_text_views=True,
+        image_cache=img_cache,
     )
-    val_ds = ROCODataset(cfg, val_df, tok, keywords, "validation")
+    val_ds = ROCODataset(cfg, val_df, tok, keywords, "validation",
+                         image_cache=img_cache)
     # batch_size // 2: the two views restore the full batch
     train_loader = BatchLoader(
         train_ds, cfg.batch_size // 2, shuffle=True, seed=cfg.seed,
@@ -77,11 +82,15 @@ def main(argv: Optional[list] = None) -> None:
     )
 
     model = MMBert(cfg, dtype=dtype)
+    init_batch = next(iter(train_loader))
     state = init_model_state(
-        model, cfg, mesh_spec, next(iter(train_loader)), cfg.lr,
+        model, cfg, mesh_spec, init_batch, cfg.lr,
         cnn_checkpoint=getattr(args, "cnn_checkpoint", ""),
         bert_checkpoint=getattr(args, "bert_checkpoint", ""),
     )
+    from mmvqa_tpu.cli.common import make_hist_logger
+
+    hist_logger = make_hist_logger(cfg, model, mesh_spec, init_batch, "supcon")
     scheduler = ReduceLROnPlateau(
         lr=cfg.lr, patience=cfg.patience, factor=cfg.factor
     )
@@ -171,6 +180,9 @@ def main(argv: Optional[list] = None) -> None:
             "epoch": epoch,
             "train_items_per_sec": tm["items_per_sec"],
         })
+        if hist_logger is not None:
+            rng, hrng = jax.random.split(rng)
+            sink.log_histograms(hist_logger(state, hrng), step=epoch)
         print(
             f"Learning rate: {new_lr:.7f}, Train loss: {tm['loss']:.4f}, "
             f"Train acc: {tm['acc']:.4f} ,Val loss: {vm['loss']:.4f}, "

@@ -92,8 +92,13 @@ def main(argv: Optional[list] = None) -> None:
     print(f"[mmvqa] train {len(train_df)} / val {len(val_df)} samples, "
           f"mesh {dict(mesh_spec.mesh.shape)}")
 
-    train_ds = ROCODataset(cfg, train_df, tok, keywords, "train")
-    val_ds = ROCODataset(cfg, val_df, tok, keywords, "validation")
+    from mmvqa_tpu.cli.common import make_image_cache
+
+    img_cache = make_image_cache(cfg)
+    train_ds = ROCODataset(cfg, train_df, tok, keywords, "train",
+                           image_cache=img_cache)
+    val_ds = ROCODataset(cfg, val_df, tok, keywords, "validation",
+                         image_cache=img_cache)
     train_loader = BatchLoader(
         train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
         num_workers=cfg.num_workers,
@@ -105,10 +110,17 @@ def main(argv: Optional[list] = None) -> None:
     )
 
     model = MMBert(cfg, dtype=dtype)
+    init_batch = next(iter(train_loader))
     state = init_model_state(
-        model, cfg, mesh_spec, next(iter(train_loader)), cfg.lr,
+        model, cfg, mesh_spec, init_batch, cfg.lr,
         cnn_checkpoint=getattr(args, "cnn_checkpoint", ""),
         bert_checkpoint=getattr(args, "bert_checkpoint", ""),
+    )
+    from mmvqa_tpu.cli.common import make_hist_logger
+
+    hist_logger = make_hist_logger(
+        cfg, model, mesh_spec, init_batch,
+        "mlm" if cfg.task == "MLM" else "distill",
     )
     scheduler = ReduceLROnPlateau(
         lr=cfg.lr, patience=cfg.patience, factor=cfg.factor
@@ -202,6 +214,11 @@ def main(argv: Optional[list] = None) -> None:
                 f"Val loss: {vm['loss']:.4f}"
             )
         sink.log(log)
+        if hist_logger is not None:
+            # --watch_histograms: per-parameter grad/weight histograms,
+            # one extra undonated step on a pinned batch (state unchanged)
+            rng, hrng = jax.random.split(rng)
+            sink.log_histograms(hist_logger(state, hrng), step=epoch)
         print(content)
         print(f"[mmvqa] {tm['items_per_sec']:.1f} train items/s")
 

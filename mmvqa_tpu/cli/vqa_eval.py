@@ -61,7 +61,10 @@ def main(argv: Optional[list] = None) -> None:
     )
     cfg = cfg.replace(num_classes=num_classes)
 
-    test_ds = VQADataset(cfg, test_df, tok, "test")
+    from mmvqa_tpu.cli.common import make_image_cache
+
+    test_ds = VQADataset(cfg, test_df, tok, "test",
+                         image_cache=make_image_cache(cfg))
     test_loader = BatchLoader(
         test_ds, cfg.batch_size, num_workers=cfg.num_workers
     )

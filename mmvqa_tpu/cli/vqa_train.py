@@ -56,9 +56,12 @@ def main(argv: Optional[list] = None) -> None:
     cfg = cfg.replace(num_classes=num_classes)
     print("numclasses", num_classes)
 
-    train_ds = VQADataset(cfg, train_df, tok, "train")
-    val_ds = VQADataset(cfg, val_df, tok, "eval")
-    test_ds = VQADataset(cfg, test_df, tok, "test")
+    from mmvqa_tpu.cli.common import make_image_cache
+
+    img_cache = make_image_cache(cfg)
+    train_ds = VQADataset(cfg, train_df, tok, "train", image_cache=img_cache)
+    val_ds = VQADataset(cfg, val_df, tok, "eval", image_cache=img_cache)
+    test_ds = VQADataset(cfg, test_df, tok, "test", image_cache=img_cache)
     mk = lambda ds, sh: BatchLoader(
         ds, cfg.batch_size, shuffle=sh, seed=cfg.seed,
         num_workers=cfg.num_workers,
@@ -69,8 +72,9 @@ def main(argv: Optional[list] = None) -> None:
     )
 
     model = MMBert(cfg, dtype=dtype)
+    init_batch = next(iter(train_loader))
     state = init_model_state(
-        model, cfg, mesh_spec, next(iter(train_loader)), cfg.lr, cfg.clip,
+        model, cfg, mesh_spec, init_batch, cfg.lr, cfg.clip,
         cnn_checkpoint=getattr(args, "cnn_checkpoint", ""),
         bert_checkpoint=getattr(args, "bert_checkpoint", ""),
     )
@@ -129,6 +133,12 @@ def main(argv: Optional[list] = None) -> None:
         lr=cfg.lr, patience=cfg.patience, factor=cfg.factor
     )
     stopper = EarlyStopping(patience=cfg.counter)
+    from mmvqa_tpu.cli.common import make_hist_logger
+
+    hist_logger = make_hist_logger(
+        cfg, model, mesh_spec, init_batch, "vqa",
+        smoothing_table=smoothing_table,
+    )
 
     best_acc1 = 0.0
     best_loss = math.inf
@@ -207,6 +217,10 @@ def main(argv: Optional[list] = None) -> None:
             })
             monitored = val_acc_v
             print(f"val_{cfg.category}_acc {val_acc_v:.2f}")
+
+        if hist_logger is not None:
+            rng, hrng = jax.random.split(rng)
+            sink.log_histograms(hist_logger(state, hrng), step=epoch)
 
         if vm["loss"] < best_loss:
             print("Saving model by loss")

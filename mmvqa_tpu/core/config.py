@@ -96,6 +96,10 @@ class Config:
 
     # -- observability ----------------------------------------------------
     wandb: bool = True
+    # full wandb.watch(model, log='all') fidelity: per-parameter grad +
+    # weight histograms at EPOCH END (device-side binning, tiny pull;
+    # zero per-step cost — train/steps.py::grad_weight_histograms)
+    watch_histograms: bool = False
     # wandb.watch(model, log='all') equivalent (roco_train.py:80): log
     # per-top-level-module gradient L2 norms from the train step
     watch: bool = False
@@ -109,11 +113,13 @@ class Config:
     donate: bool = True          # donate train-state buffers to the jit step
     profile_dir: str = ""        # jax.profiler trace output directory
     debug_nans: bool = False     # jax_debug_nans (SURVEY.md §5.2)
+    # persistent disk-backed decoded-image cache dir ('' = off): kills the
+    # recurring cold-epoch decode penalty (images.DecodedImageCache)
+    image_cache_dir: str = ""
     # chain K steps into one jit dispatch: per-call dispatch+sync costs
     # ~83 ms through the remote-device tunnel (A/B: 149.1 -> 143.6 -> 142.3
-    # ms/step at K=10/30/60, B=128); 32 amortizes it to ~2.6 ms while
-    # keeping metric cadence reasonable
-    steps_per_call: int = 32
+    # ms/step at K=10/30/60, B=128); 60 is the settled sweet spot
+    steps_per_call: int = 60
     # visual-token head impl: 'auto' = fused Pallas kernel for the huge
     # stage-0 map on a single TPU chip, conv elsewhere (same-session A/B:
     # conv 151.9 / pallas-stage0 149.9 ms per step at B=128 bf16)

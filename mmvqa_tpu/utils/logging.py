@@ -55,6 +55,30 @@ class MetricSink:
         if self._wandb is not None:
             self._wandb.log(metrics)
 
+    def log_histograms(self, hists: Dict, step: Optional[int] = None) -> None:
+        """Per-parameter histograms {name: (counts[bins], lo, hi)} —
+        the --watch_histograms payload (wandb.watch(model, log='all')
+        fidelity, roco_train.py:80). JSONL gets compact count lists;
+        wandb gets native Histogram objects."""
+        rec = {}
+        wlog = {}
+        for name, (counts, lo, hi) in hists.items():
+            counts = np.asarray(counts)
+            lo, hi = float(lo), float(hi)
+            rec[name] = {"counts": counts.tolist(), "lo": lo, "hi": hi}
+            if self._wandb is not None:
+                edges = np.linspace(lo, hi, len(counts) + 1)
+                wlog[name] = self._wandb.Histogram(
+                    np_histogram=(counts, edges)
+                )
+        out = {"ts": time.time(), "histograms": rec}
+        if step is not None:
+            out["step"] = step
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(out) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(wlog)
+
     def finish(self) -> None:
         if self._wandb is not None:
             self._wandb.finish()

@@ -200,6 +200,94 @@ def test_watch_grad_norm_metrics():
     assert any(k.startswith("gnorm/") for k in em)
 
 
+def test_watch_histograms_metrics_and_sink(tmp_path, monkeypatch):
+    """--watch_histograms (VERDICT r3 #5): per-parameter grad/weight
+    histograms — device-side binning correctness, step-metrics payload, and
+    MetricSink.log_histograms JSONL + wandb.Histogram forwarding."""
+    import sys
+    import types
+
+    import jax.numpy as jnp
+
+    from mmvqa_tpu.core.config import pretrain_config
+    from mmvqa_tpu.models import MMBert
+    from mmvqa_tpu.train import create_train_state, make_mlm_steps
+    from mmvqa_tpu.train.steps import HIST_BINS, _param_histograms
+
+    # 1) binning correctness on a known tree
+    tree = {"a": {"w": jnp.asarray(np.linspace(-1.0, 1.0, 128))},
+            "b": jnp.zeros((7,))}
+    h = _param_histograms(tree, "whist")
+    assert set(h) == {"whist/a/w", "whist/b"}
+    counts, lo, hi = h["whist/a/w"]
+    assert int(np.asarray(counts).sum()) == 128
+    assert float(lo) == -1.0 and float(hi) == 1.0
+    # uniform data -> every bin occupied
+    assert (np.asarray(counts) > 0).all()
+
+    # 2) the step factory emits ghist/whist per parameter leaf
+    cfg = pretrain_config(
+        hidden_size=32, n_layers=1, heads=4, vocab_size=64,
+        max_position_embeddings=16, image_size=32, tiny_cnn=True,
+        batch_size=2,
+    )
+    model = MMBert(cfg)
+    r = np.random.default_rng(0)
+    B, T, S = 2, 16, 32
+    batch = {
+        "image": r.integers(0, 255, (B, S, S, 3), dtype=np.uint8),
+        "tokens": r.integers(0, 64, (B, T)).astype(np.int32),
+        "segment_ids": np.zeros((B, T), np.int32),
+        "input_mask": np.ones((B, T), np.float32),
+        "labels": r.integers(0, 64, (B, T)).astype(np.int32),
+        "weights": np.ones((B,), np.float32),
+    }
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((B, S, S, 3)),
+        jnp.asarray(batch["tokens"]), jnp.asarray(batch["segment_ids"]),
+        jnp.asarray(batch["input_mask"]),
+    )
+    n_leaves = len(jax.tree.leaves(variables["params"]))
+    state = create_train_state(variables, 1e-3)
+    train_step, _ = make_mlm_steps(model, cfg, histograms=True)
+    _, m = train_step(state, batch, jax.random.PRNGKey(1))
+    ghist = {k: v for k, v in m.items() if k.startswith("ghist/")}
+    whist = {k: v for k, v in m.items() if k.startswith("whist/")}
+    assert len(ghist) == len(whist) == n_leaves
+    c, lo, hi = next(iter(whist.values()))
+    assert np.asarray(c).shape == (HIST_BINS,)
+    assert float(lo) <= float(hi)
+
+    # 3) sink: JSONL payload + wandb.Histogram forwarding (fake module)
+    calls = {"log": [], "hist": []}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: None
+    fake.log = lambda metrics: calls["log"].append(metrics)
+    fake.finish = lambda: None
+
+    class FakeHist:
+        def __init__(self, np_histogram=None):
+            calls["hist"].append(np_histogram)
+
+    fake.Histogram = FakeHist
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    from mmvqa_tpu.utils.logging import MetricSink
+
+    sink = MetricSink("hrun", str(tmp_path), use_wandb=True)
+    sink.log_histograms({**ghist, **whist}, step=3)
+    sink.finish()
+
+    import json
+    rec = json.loads(open(tmp_path / "hrun_metrics.jsonl").read().splitlines()[-1])
+    assert rec["step"] == 3
+    assert len(rec["histograms"]) == 2 * n_leaves
+    some = next(iter(rec["histograms"].values()))
+    assert len(some["counts"]) == HIST_BINS and "lo" in some and "hi" in some
+    assert len(calls["hist"]) == 2 * n_leaves
+    counts0, edges0 = calls["hist"][0]
+    assert len(edges0) == len(counts0) + 1
+
+
 def test_place_state_tp_shards_optimizer_moments():
     """Adam mu/nu leaves must carry the SAME sharding as their params on a
     4x2 dp-tp mesh (VERDICT r1 item 3): replicated moments forfeit TP memory
