@@ -133,7 +133,13 @@ class VisualTokenizer(nn.Module):
         from mmvqa_tpu.core import mesh as mesh_module
 
         spec = mesh_module.CURRENT
+        # context_size must be 1: the shard_map leaves 'context' unmentioned,
+        # so on cp>1 meshes GSPMD would replicate the large stage-0 map
+        # across the context axis and every context shard would redundantly
+        # run the kernel (correct but a hidden all-gather cost). Force
+        # token_head='pallas_sharded' to opt in on cp>1 meshes.
         if (spec is not None
+                and spec.context_size == 1
                 and feat.shape[0] % spec.data_size == 0
                 and self.hidden_size % spec.model_size == 0):
             return "pallas_sharded"

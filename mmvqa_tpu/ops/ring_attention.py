@@ -242,7 +242,14 @@ def ring_vanilla_attention(
     if key_mask is None:
         key_mask = jnp.ones(q.shape[:1] + q.shape[2:3], jnp.float32)
     if dropout_rng is None:
-        dropout_rng = jax.random.PRNGKey(0)
+        if not deterministic and dropout_rate > 0.0:
+            # the XLA path fails loudly here (bernoulli on a None key);
+            # silently defaulting would reuse one fixed mask every call
+            raise ValueError(
+                "ring attention: dropout_rng is required when "
+                "deterministic=False and dropout_rate > 0"
+            )
+        dropout_rng = jax.random.PRNGKey(0)  # dummy; dropout branch unused
     if vjp == "flash":
         body = _flash_vanilla(cp, float(dropout_rate), bool(deterministic))
     else:

@@ -182,6 +182,24 @@ def test_realformer_ring_gradients_match(rng):
         )
 
 
+def test_ring_dropout_requires_rng(rng):
+    """ADVICE r3: silently substituting PRNGKey(0) would reuse one fixed
+    dropout mask every call; the XLA path fails loudly — so must ring."""
+    from mmvqa_tpu.ops.ring_attention import ring_vanilla_attention
+
+    q = jnp.asarray(rng.normal(size=(B, H, T, D)).astype(np.float32))
+    mesh = make_mesh(dp_size=2, tp_size=2, cp_size=2).mesh
+    with pytest.raises(ValueError, match="dropout_rng"):
+        ring_vanilla_attention(
+            q, q, q, None, mesh, dropout_rate=0.1, deterministic=False
+        )
+    # deterministic / zero-rate calls still work without a key
+    out = ring_vanilla_attention(
+        q, q, q, None, mesh, dropout_rate=0.1, deterministic=True
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_ring_dispatch(rng):
     q = jnp.asarray(rng.normal(size=(B, H, T, D)).astype(np.float32))
     with pytest.raises(ValueError, match="RING_MESH"):
