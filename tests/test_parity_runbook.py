@@ -70,3 +70,104 @@ def test_row_selection_parsing():
     assert {r["pretrain"] for r in parity_run.ROWS} == {
         "mlm", "simclr", "supcon-jaccard", "supcon-sbert"
     }
+
+
+def test_verify_import_smoke(tmp_path):
+    """--verify_import (VERDICT r3 #8): per-stage activation diffs of the
+    torch->Flax conversion, smoke-tested with synthetic state_dicts —
+    executes unchanged the day real timm/torchvision/HF weights land."""
+    import numpy as np
+    import torch
+
+    from test_import_torch import (
+        TorchBertEmbeddings,
+        TorchMiniEffNet,
+        TorchMiniResNet,
+        _randomize_bn,
+    )
+
+    import verify_import
+
+    tm = TorchMiniEffNet()
+    _randomize_bn(tm)
+    eff = str(tmp_path / "effv2_tiny.pth")
+    torch.save(tm.state_dict(), eff)
+    tr = TorchMiniResNet((1, 1, 1, 1))
+    _randomize_bn(tr)
+    res = str(tmp_path / "resnet_tiny.pth")
+    torch.save(tr.state_dict(), res)
+    tb = TorchBertEmbeddings(vocab=100, hidden=32, max_pos=64)
+    bert = str(tmp_path / "bert_tiny.pth")
+    torch.save({"embeddings." + k: v for k, v in tb.state_dict().items()},
+               bert)
+
+    out = str(tmp_path / "report.json")
+    rc = verify_import.main([
+        "--cnn_encoder", "auto", "--cnn_checkpoint", eff, "--tiny",
+        "--image_size", "64", "--bert_checkpoint", bert, "--out", out,
+    ])
+    assert rc == 0
+    import json
+    report = json.load(open(out))
+    assert [r["what"] for r in report] == ["cnn:tf_efficientnetv2_m",
+                                           "bert_embeddings"]
+    assert all(r["ok"] for r in report)
+    assert len(report[0]["stages"]) == 7
+
+    rc = verify_import.main([
+        "--cnn_encoder", "auto", "--cnn_checkpoint", res, "--tiny",
+        "--image_size", "64",
+    ])
+    assert rc == 0
+
+    # negative control: a CONVERSION bug (perturb one converted leaf —
+    # corrupting the checkpoint itself would feed both sides the same
+    # values) must make the stage diffs FAIL
+    import mmvqa_tpu.models.import_torch as it
+
+    orig_convert = it.convert_effnetv2_m
+
+    def bad_convert(sd, **kw):
+        p, s = orig_convert(sd, **kw)
+        p["stem_conv"]["kernel"] = p["stem_conv"]["kernel"] + 0.05
+        return p, s
+
+    it.convert_effnetv2_m = bad_convert
+    try:
+        rc = verify_import.main([
+            "--cnn_encoder", "auto", "--cnn_checkpoint", eff, "--tiny",
+            "--image_size", "64",
+        ])
+    finally:
+        it.convert_effnetv2_m = orig_convert
+    assert rc == 1
+
+
+def test_parity_run_verify_import_wiring(fixture_tree, tmp_path):
+    """parity_run --verify_import runs the conversion check BEFORE any
+    training and records the JSON report in save_dir."""
+    import os
+
+    import torch
+
+    from test_import_torch import TorchMiniEffNet, _randomize_bn
+
+    import parity_run
+
+    tm = TorchMiniEffNet()
+    _randomize_bn(tm)
+    ckpt = str(tmp_path / "effv2_tiny.pth")
+    torch.save(tm.state_dict(), ckpt)
+
+    save = str(tmp_path / "out")
+    parity_run.main([
+        "--roco_dir", os.path.join(fixture_tree, "roco"),
+        "--vqa_dir", os.path.join(fixture_tree, "vqa"),
+        "--save_dir", save,
+        "--rows", "no-such-row",  # verify wiring only; train nothing
+        "--smoke", "--verify_import",
+        "--cnn_checkpoint", ckpt,
+    ])
+    import json
+    report = json.load(open(os.path.join(save, "verify_import.json")))
+    assert report[0]["ok"]

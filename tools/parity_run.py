@@ -243,7 +243,39 @@ def main(argv=None) -> None:
                     help="fixture-scale dry run (tiny model, CI)")
     ap.add_argument("--smoke_epochs", type=int, default=1)
     ap.add_argument("--smoke_image_size", type=int, default=64)
+    ap.add_argument("--verify_import", action="store_true", default=False,
+                    help="before any training, run per-stage activation "
+                         "diffs of the torch->Flax checkpoint conversion "
+                         "(tools/verify_import.py — CLAUDE.md roadmap #2 "
+                         "names this the first thing to check when real "
+                         "weights land); aborts on mismatch")
     args = ap.parse_args(argv)
+
+    if args.verify_import:
+        import verify_import
+
+        if not (args.cnn_checkpoint or args.bert_checkpoint):
+            print("[parity_run] --verify_import: no checkpoints given, "
+                  "nothing to verify")
+        vi = []
+        if args.cnn_checkpoint:
+            vi += ["--cnn_encoder", "auto",
+                   "--cnn_checkpoint", args.cnn_checkpoint,
+                   "--image_size",
+                   str(args.smoke_image_size if args.smoke else 224)]
+            if args.smoke:
+                vi += ["--tiny"]
+            os.makedirs(args.save_dir, exist_ok=True)
+            vi += ["--out",
+                   os.path.join(args.save_dir, "verify_import.json")]
+        if args.bert_checkpoint:
+            vi += ["--bert_checkpoint", args.bert_checkpoint]
+        if vi:
+            rc = verify_import.main(vi)
+            if rc != 0:
+                raise SystemExit(
+                    f"--verify_import: checkpoint conversion mismatch "
+                    f"(rc={rc}); aborting before training")
 
     if args.rows == "all":
         rows = ROWS
