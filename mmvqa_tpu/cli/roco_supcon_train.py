@@ -94,7 +94,7 @@ def main(argv: Optional[list] = None) -> None:
     scheduler = ReduceLROnPlateau(
         lr=cfg.lr, patience=cfg.patience, factor=cfg.factor
     )
-    multi_step = multi_eval = None
+    multi_step = multi_step_masked = multi_eval = None
     if cfg.steps_per_call > 1:
         from mmvqa_tpu.train.steps import make_multi_eval_step, make_multi_step
 
@@ -102,10 +102,19 @@ def main(argv: Optional[list] = None) -> None:
             model, cfg, raw=True
         )
         # the scanned train body fixes sim_mask=None (the reference's live
-        # path); when --use_sim_mask is set the epoch loop dispatches singly
+        # path); with --use_sim_mask the masks ride the scan as a stacked
+        # batch field instead (supcon_epoch threads them per step)
         multi_step = make_multi_step(
             lambda s, b, k: train_raw(s, b, k, None), cfg.steps_per_call
         )
+        if cfg.use_sim_mask and cfg.con_task == "supcon":
+            def _masked_body(s, b, k):
+                b = dict(b)
+                return train_raw(s, b, k, b.pop("sim_mask"))
+
+            multi_step_masked = make_multi_step(
+                _masked_body, cfg.steps_per_call
+            )
         multi_eval = make_multi_eval_step(eval_raw, cfg.steps_per_call)
     else:
         train_step, eval_step = make_supcon_steps(model, cfg)
@@ -154,7 +163,9 @@ def main(argv: Optional[list] = None) -> None:
         state, tm = supcon_epoch(
             train_step, state, train_loader, mesh_spec, erng,
             sim_mask_fn=sim_mask_fn,
-            multi_step_fn=multi_step, steps_per_call=cfg.steps_per_call,
+            multi_step_fn=multi_step,
+            masked_multi_step_fn=multi_step_masked,
+            steps_per_call=cfg.steps_per_call,
         )
         _, vm = mlm_epoch(
             eval_step, state, val_loader, mesh_spec, None, False,

@@ -141,13 +141,20 @@ def supcon_epoch(
     rng: jax.Array,
     sim_mask_fn=None,
     multi_step_fn=None,
+    masked_multi_step_fn=None,
     steps_per_call: int = 1,
 ) -> Tuple[object, Dict[str, float]]:
     """Train epoch for joint MLM+SupCon. ``sim_mask_fn(captions, augs)``
     builds the host-side similarity mask; None reproduces the reference's
     live path (mask computed but unused, supcon_utils.py:286-287).
-    Super-stepping applies only to the mask-less path (the mask rides the
-    host, so masked batches dispatch singly)."""
+
+    Super-stepping covers BOTH paths: the mask-less scanned program
+    (``multi_step_fn``) and, when ``--use_sim_mask`` is on, a variant that
+    threads the per-step (B, B) similarity masks through the scan as a
+    stacked batch field (``masked_multi_step_fn``) — the masks are host
+    arrays like every other batch field, so they stack and shard the same
+    way (dispatching masked batches singly cost ~83 ms/step of tunnel
+    overhead for no reason)."""
     losses, mlms, cons, corrects, totals = [], [], [], [], []
     n_items = 0
     t0 = time.time()
@@ -167,6 +174,10 @@ def supcon_epoch(
         multi_step_fn is not None and steps_per_call > 1
         and sim_mask_fn is None
     )
+    use_multi_masked = (
+        masked_multi_step_fn is not None and steps_per_call > 1
+        and sim_mask_fn is not None
+    )
     if use_multi:
         for group, _full in _grouped(loader, steps_per_call):
             n_items += int(sum(b["weights"].sum() for b in group)) * 2
@@ -176,6 +187,22 @@ def supcon_epoch(
             )
             rng, sub = jax.random.split(rng)
             state, m = multi_step_fn(state, stacked, sub)
+            record(m)
+    elif use_multi_masked:
+        for group, _full in _grouped(loader, steps_per_call):
+            n_items += int(sum(b["weights"].sum() for b in group)) * 2
+            proc = []
+            for b in group:
+                captions, augs, b2 = strip_text(b)
+                b2["sim_mask"] = np.asarray(
+                    sim_mask_fn(captions, augs), np.float32
+                )
+                proc.append(b2)
+            stacked = place_batch(
+                _stack_batches(proc), mesh_spec, stacked=True
+            )
+            rng, sub = jax.random.split(rng)
+            state, m = masked_multi_step_fn(state, stacked, sub)
             record(m)
     else:
         for batch in loader:
