@@ -124,3 +124,150 @@ def test_build_from_translation(tmp_path):
     out = pd.read_csv(os.path.join(d, "traindata_translated.csv"))
     assert list(out.columns) == ["name", "caption", "caption_fr", "caption_de"]
     assert out["caption_fr"].iloc[1] == "two fr"
+
+
+# ---------------------------------------------------------------------------
+# back-translation CLIs (round 4): the googletrans PROTOCOL driver
+# (preprocess/translate.py) tested offline via an injected urlopen, and the
+# MarianMT batch CLI (preprocess/translate_transformers.py) via a stub
+# translator
+# ---------------------------------------------------------------------------
+
+class _FakeGtxResponse:
+    def __init__(self, payload):
+        self._payload = payload
+
+    def read(self):
+        import json
+
+        return json.dumps(self._payload).encode("utf-8")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def _fake_urlopen_factory(log):
+    """Round-trippable fake of translate.googleapis.com/translate_a/single:
+    en->L prefixes '<L>:', L->en strips it — so a successful round trip
+    returns the original caption and the call sequence is checkable."""
+    from urllib.parse import parse_qs, urlparse
+
+    def fake_urlopen(url, timeout=None):
+        q = parse_qs(urlparse(url).query)
+        text, sl, tl = q["q"][0], q["sl"][0], q["tl"][0]
+        log.append((sl, tl, text))
+        if sl == "en":
+            out = f"{tl}:{text}"
+        else:
+            out = text.split(":", 1)[1]
+        # gtx nested-list payload: [[ [trans, orig, ...], ... ], ...]
+        return _FakeGtxResponse([[[out, text, None, None, 10]], None, sl])
+
+    return fake_urlopen
+
+
+def _translate_tree(tmp_path, n=5):
+    d = str(tmp_path / "radiology")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({
+        "name": [f"img{i}.jpg" for i in range(n)],
+        "caption": [f"caption number {i}" for i in range(n)],
+    }).to_csv(os.path.join(d, "traindata.csv"), index=False)
+    return d
+
+
+def test_googletrans_backtranslation_roundtrip_and_window(tmp_path):
+    """One invocation processes exactly num_threads chunks starting at
+    resume_pos // chunk_size (reference translate.py:99-107); everything
+    else keeps the --default sentinel."""
+    from mmvqa_tpu.preprocess.translate import main
+
+    d = _translate_tree(tmp_path, n=5)
+    log = []
+    main(["--roco_dir", d, "--language", "fr", "--num_threads", "1",
+          "--chunk_size", "2"], urlopen=_fake_urlopen_factory(log))
+
+    out = pd.read_csv(os.path.join(d, "traindata_fr.csv"))
+    assert list(out.columns) == ["name", "caption", "caption_fr"]
+    # chunk 0 (rows 0-1) back-translated; the fake round-trips exactly
+    assert list(out["caption_fr"][:2]) == list(out["caption"][:2])
+    # rows past the num_threads-chunk window keep the sentinel
+    assert all(v == "not yet" for v in out["caption_fr"][2:])
+    # call sequence: en->fr then fr->en per caption
+    assert log[0][:2] == ("en", "fr") and log[1][:2] == ("fr", "en")
+    assert len(log) == 4
+
+
+def test_googletrans_error_writes_default_sentinel(tmp_path):
+    """Per-caption failures write --default, like translate_googletrans's
+    try/except (reference translate.py:26-35) — offline, EVERY call fails
+    and the run still completes."""
+    from mmvqa_tpu.preprocess.translate import main
+
+    d = _translate_tree(tmp_path, n=3)
+
+    def dead_urlopen(url, timeout=None):
+        raise OSError("network unreachable")
+
+    main(["--roco_dir", d, "--language", "fr", "--num_threads", "2",
+          "--chunk_size", "2", "--default", "failed"],
+         urlopen=dead_urlopen)
+    out = pd.read_csv(os.path.join(d, "traindata_fr.csv"))
+    assert all(v == "failed" for v in out["caption_fr"])
+
+
+def test_googletrans_resume_continues_window(tmp_path, capsys):
+    """--resume re-reads traindata_<lang>.csv, prints the check_progress
+    report, and translates the NEXT window while preserving earlier rows."""
+    from mmvqa_tpu.preprocess.translate import main
+
+    d = _translate_tree(tmp_path, n=6)
+    log = []
+    fake = _fake_urlopen_factory(log)
+    main(["--roco_dir", d, "--language", "fr", "--num_threads", "1",
+          "--chunk_size", "2"], urlopen=fake)
+    main(["--roco_dir", d, "--language", "fr", "--num_threads", "1",
+          "--chunk_size", "2", "--resume", "--resume_pos", "2"],
+         urlopen=fake)
+    out = pd.read_csv(os.path.join(d, "traindata_fr.csv"))
+    assert list(out["caption_fr"][:4]) == list(out["caption"][:4])
+    assert all(v == "not yet" for v in out["caption_fr"][4:])
+    assert "number of not changed == number processed??" in capsys.readouterr().out
+
+
+def test_googletrans_resume_pos_zero_refuses(tmp_path, capsys):
+    from mmvqa_tpu.preprocess.translate import main
+
+    d = _translate_tree(tmp_path, n=2)
+    main(["--roco_dir", d, "--language", "fr", "--resume"])
+    assert "Cant resume in pos 0" in capsys.readouterr().out
+    assert not os.path.exists(os.path.join(d, "traindata_fr.csv"))
+
+
+def test_translate_transformers_output_joins(tmp_path):
+    """The MarianMT batch CLI writes caption_<lang>.csv with [id,
+    caption_<lang>] (reference translate_transformers.py:90-104), which
+    build_from_translation joins."""
+    from mmvqa_tpu.preprocess.build_from_translation import main as join_main
+    from mmvqa_tpu.preprocess.translate_transformers import main
+
+    d = _translate_tree(tmp_path, n=5)
+    calls = []
+
+    def stub_translator(texts):
+        calls.append(list(texts))
+        return [f"bt({t})" for t in texts]
+
+    main(["--roco_dir", d, "--language", "fr", "--batch_size", "2"],
+         translator=stub_translator)
+    out = pd.read_csv(os.path.join(d, "caption_fr.csv"))
+    assert list(out.columns) == ["id", "caption_fr"]
+    assert len(out) == 5 and out["caption_fr"].iloc[0].startswith("bt(")
+    assert [len(c) for c in calls] == [2, 2, 1]
+
+    join_main(["--roco_dir", d, "--languages", "fr"])
+    joined = pd.read_csv(os.path.join(d, "traindata_translated.csv"))
+    assert joined["caption_fr"].iloc[4] == "bt(caption number 4)"
