@@ -171,3 +171,28 @@ def test_parity_run_verify_import_wiring(fixture_tree, tmp_path):
     import json
     report = json.load(open(os.path.join(save, "verify_import.json")))
     assert report[0]["ok"]
+
+
+def test_mlm_ce_row_smoke(fixture_tree, tmp_path):
+    """Row 1 (resnet152 + vanilla transformer + ReLU + CE + plain-MLM
+    pretrain) covers every driver/config family the supcon row does NOT:
+    roco_train instead of roco_supcon_train, the resnet trunk, the vanilla
+    transformer, --use_relu, and the CE criterion at fine-tune/eval."""
+    import parity_run
+
+    save = str(tmp_path / "parity_out_mlm")
+    parity_run.main([
+        "--roco_dir", os.path.join(fixture_tree, "roco"),
+        "--vqa_dir", os.path.join(fixture_tree, "vqa"),
+        "--save_dir", save,
+        "--rows", "resnet152-transformer-relu-ce-mlm",
+        "--smoke",
+    ])
+    text = open(os.path.join(save, "PARITY_RESULTS.md")).read()
+    row = [ln for ln in text.splitlines()
+           if "resnet152-transformer-relu-ce-mlm" in ln][0]
+    assert "nan" not in row.lower()
+    tagdir = os.path.join(save, "resnet152-transformer-relu-ce-mlm")
+    assert os.path.isdir(os.path.join(tagdir, "MLM", "pre"))
+    assert os.path.isdir(os.path.join(tagdir, "MLM", "ft"))
+    assert os.path.exists(os.path.join(tagdir, "ft_res.txt"))
