@@ -1,0 +1,69 @@
+"""Communication-pattern guard over the compiled sharded train step.
+
+The distributed design is declarative (parallel/sharding.py attaches
+shardings; XLA inserts collectives), so a bad sharding rule surfaces ONLY
+as extra communication in the compiled HLO — e.g. an optimizer state that
+stops mirroring its param's layout forces a per-step full-parameter
+all-gather, which is silent in Python and a throughput cliff on real ICI.
+These tests pin the measured collective fingerprint of the MLM train step
+(tools/sharding_audit.py) per mesh shape.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "tools"),
+)
+
+from sharding_audit import audit_hlo, lower_train_step  # noqa: E402
+
+
+def _audit(dp, tp, cp):
+    txt, param_bytes = lower_train_step(dp, tp, cp)
+    return audit_hlo(txt), param_bytes
+
+
+def test_pure_dp_is_allreduce_only_and_grad_sized():
+    """8-way DP must compile to NOTHING but all-reduces (gradient/BN-stat/
+    metric reductions), and their total payload must be ~= one gradient
+    tree (param bytes): a per-step parameter broadcast or optimizer
+    resharding would blow the byte budget; a lost gradient sync would
+    collapse it."""
+    report, param_bytes = _audit(8, 1, 1)
+    assert set(report) == {"all-reduce"}, report
+    ar = report["all-reduce"]["bytes"]
+    assert 0.9 * param_bytes <= ar <= 1.15 * param_bytes, (
+        f"all-reduce payload {ar} vs param bytes {param_bytes}"
+    )
+
+
+def test_tp_adds_bounded_small_gathers_no_all_to_all():
+    """Megatron-style TP adds row-parallel/vocab-parallel partial-sum
+    all-reduces and a few ACTIVATION-sized all-gathers; parameter-sized
+    gathers or all-to-alls mean the TP rules regressed."""
+    report, param_bytes = _audit(4, 2, 1)
+    assert "all-to-all" not in report, report
+    assert report["all-reduce"]["count"] >= 28  # >= the pure-DP reductions
+    ag = report.get("all-gather", {"bytes": 0})["bytes"]
+    assert ag <= 0.01 * param_bytes, (
+        f"all-gather payload {ag} is parameter-scale "
+        f"(params {param_bytes}) — a weight is being gathered per step"
+    )
+
+
+def test_cp_reshards_activations_not_parameters():
+    """On the full 2x2x2 mesh the token axis reshards around attention
+    (permutes / all-to-alls are GSPMD's pattern for the 'context' axis) —
+    every non-all-reduce collective must stay activation-sized."""
+    report, param_bytes = _audit(2, 2, 2)
+    for op, rec in report.items():
+        if op == "all-reduce":
+            continue
+        assert rec["bytes"] <= 0.01 * param_bytes, (op, rec, param_bytes)
+    # and the gradient reduction is still intact
+    ar = report["all-reduce"]["bytes"]
+    assert ar >= 0.9 * param_bytes
