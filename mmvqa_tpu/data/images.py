@@ -92,10 +92,14 @@ class DecodedImageCache:
     --image_cache_dir).
 
     Thread-safe within a process (the BatchLoader decodes from a thread
-    pool); single-writer across processes (concurrent training runs should
-    use distinct cache dirs, or share one AFTER it is fully built — reads
-    are lock-free). A source image whose mtime changes is treated as a
-    miss and re-appended (the stale slot leaks ~size²·3 bytes).
+    pool) AND safe under concurrent processes sharing one cache dir:
+    appends happen under an ``flock`` on the bin file with the slot number
+    derived from the locked file size, and index flushes MERGE with the
+    on-disk index instead of overwriting it — worst case two processes
+    both decode the same image and one slot is duplicated (space, not
+    correctness). Reads are lock-free. A source image whose mtime changes
+    is treated as a miss and re-appended (the stale slot leaks
+    ~size²·3 bytes).
 
     No reference equivalent: the reference re-decodes every epoch in
     DataLoader workers (roco_train.py:126-127), which cannot keep up on a
@@ -116,31 +120,50 @@ class DecodedImageCache:
         self._mm_slots = 0
         self._puts_since_flush = 0
 
-        n_slots = (
-            os.path.getsize(self._bin_path) // self._slot_bytes
-            if os.path.exists(self._bin_path) else 0
-        )
-        if os.path.exists(self._idx_path):
-            try:
-                with open(self._idx_path) as f:
-                    idx = json.load(f)
-                if idx.get("size") == self.size:
-                    self._index = {
-                        k: tuple(v) for k, v in idx["entries"].items()
-                        if v[0] < n_slots  # drop entries past a truncated bin
-                    }
-            except (json.JSONDecodeError, KeyError, OSError):
-                self._index = {}  # corrupt index -> rebuild from scratch
-        self._n_slots = (
-            max((s + 1 for s, _ in self._index.values()), default=0)
-        )
         self._writer = open(self._bin_path, "ab")
-        # align the append position to whole slots (a previous crash may
-        # have left a partial record)
-        self._writer.truncate(self._n_slots * self._slot_bytes)
+        with self._flocked():
+            # align the file to whole slots (a previous crash may have left
+            # a partial record); size-derived, so a concurrent process's
+            # complete slots are never cut off
+            n_bytes = os.path.getsize(self._bin_path)
+            n_slots = n_bytes // self._slot_bytes
+            if n_bytes != n_slots * self._slot_bytes:
+                self._writer.truncate(n_slots * self._slot_bytes)
+            self._index = self._read_disk_index(n_slots)
         import atexit
 
         atexit.register(self.flush)
+
+    def _read_disk_index(self, n_slots: int) -> dict:
+        if not os.path.exists(self._idx_path):
+            return {}
+        try:
+            with open(self._idx_path) as f:
+                idx = json.load(f)
+            if idx.get("size") != self.size:
+                return {}
+            return {
+                k: tuple(v) for k, v in idx["entries"].items()
+                if v[0] < n_slots  # drop entries past a truncated bin
+            }
+        except (json.JSONDecodeError, KeyError, OSError):
+            return {}  # corrupt index -> rebuild from scratch
+
+    def _flocked(self):
+        """Exclusive cross-process lock on the bin file (intra-process
+        exclusion is self._lock — flock is per open-file, not per-thread)."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def cm():
+            fcntl.flock(self._writer.fileno(), fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(self._writer.fileno(), fcntl.LOCK_UN)
+
+        return cm()
 
     def __len__(self) -> int:
         return len(self._index)
@@ -168,23 +191,32 @@ class DecodedImageCache:
             except OSError:
                 pass
         img = load_image(path, size)
-        with self._lock:
+        with self._lock, self._flocked():
+            # slot comes from the LOCKED file size: concurrent processes
+            # interleave appends without clobbering each other's slots
+            slot = os.path.getsize(self._bin_path) // self._slot_bytes
             self._writer.write(img.tobytes())
             self._writer.flush()  # readers remap via getsize — keep it honest
-            self._index[key] = (self._n_slots, os.path.getmtime(path))
-            self._n_slots += 1
+            self._index[key] = (slot, os.path.getmtime(path))
             self._puts_since_flush += 1
             if self._puts_since_flush >= self.INDEX_FLUSH_EVERY:
                 self._flush_locked()
         return img
 
     def _flush_locked(self) -> None:
+        """Write the index — MERGED with the current on-disk one, so
+        concurrent processes flushing their own entries don't drop each
+        other's. Caller holds self._lock and the flock."""
         self._writer.flush()
-        tmp = self._idx_path + ".tmp"
+        n_slots = os.path.getsize(self._bin_path) // self._slot_bytes
+        merged = dict(self._read_disk_index(n_slots))
+        merged.update(self._index)
+        self._index = merged
+        tmp = self._idx_path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(
                 {"size": self.size,
-                 "entries": {k: list(v) for k, v in self._index.items()}},
+                 "entries": {k: list(v) for k, v in merged.items()}},
                 f,
             )
         os.replace(tmp, self._idx_path)
@@ -193,7 +225,8 @@ class DecodedImageCache:
     def flush(self) -> None:
         with self._lock:
             if self._puts_since_flush and not self._writer.closed:
-                self._flush_locked()
+                with self._flocked():
+                    self._flush_locked()
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,7 @@
 """Device augmentation pipeline tests."""
 
 import numpy as np
+from shlex import quote as _shell_quote
 import pytest
 
 import jax
@@ -179,3 +180,58 @@ class TestDecodedImageCache:
         np.testing.assert_array_equal(
             c2.load(paths[0], 32), load_image(paths[0], 32)
         )
+
+    def test_concurrent_processes_share_one_cache(self, tmp_path, rng):
+        """Two PROCESSES appending to the same cache dir concurrently must
+        not corrupt each other: flock'd appends with size-derived slots +
+        merge-on-flush indexes. A fresh instance afterwards must read every
+        image back bit-exactly from the merged cache."""
+        import multiprocessing as mp
+        import os
+        import sys
+
+        from PIL import Image
+
+        from mmvqa_tpu.data.images import DecodedImageCache
+
+        d = str(tmp_path / "imgs")
+        cdir = str(tmp_path / "cache")
+        os.makedirs(d)
+        paths = []
+        for i in range(12):
+            p = os.path.join(d, f"im{i}.png")
+            Image.fromarray(
+                rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+            ).save(p)
+            paths.append(p)
+
+        code = (
+            "import sys; sys.path.insert(0, {root!r})\n"
+            "from mmvqa_tpu.data.images import DecodedImageCache\n"
+            "c = DecodedImageCache({cdir!r}, 16)\n"
+            "for p in {paths!r}:\n"
+            "    c.load(p, 16)\n"
+            "c.flush()\n"
+        )
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        # overlapping halves so both processes race on shared images too
+        procs = [
+            mp.Process(
+                target=os.system,
+                args=(f"{sys.executable} -c "
+                      f"{_shell_quote(code.format(root=root, cdir=cdir, paths=chunk))}",),
+            )
+            for chunk in (paths[:8], paths[4:])
+        ]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+            assert p.exitcode == 0
+
+        cache = DecodedImageCache(cdir, 16)
+        assert len(cache) == 12
+        for p in paths:
+            np.testing.assert_array_equal(
+                cache.load(p, 16), load_image(p, 16)
+            )
