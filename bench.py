@@ -51,6 +51,32 @@ MEASURED_HBM_GB_PER_STEP = 18.0
 STEPS = 60
 
 
+def place_for_devices(state, batch: dict):
+    """Data-parallel placement when >1 device is visible: build a pure-DP
+    ('data','model','context') mesh over every device, install it, shard
+    the batch dim over 'data' and replicate the state (TP stays 1 — the
+    flagship bench measures DP weak scaling at 128 img/chip). On one
+    device this is a no-op. Returns (state, batch, mesh_spec_or_None)."""
+    import jax
+
+    if jax.device_count() == 1:
+        # commit the batch to the device ONCE — as plain numpy it would
+        # re-upload per run() call (19 MB through the ~25 MB/s tunnel
+        # ≈ 13 ms/step amortized; measured 881 vs 935+ img/s)
+        batch = {k: jax.device_put(v) for k, v in batch.items()}
+        return state, batch, None
+
+    from mmvqa_tpu.core import mesh as mesh_module
+    from mmvqa_tpu.core.mesh import make_mesh
+    from mmvqa_tpu.parallel.sharding import place_batch, place_state
+
+    spec = make_mesh(jax.device_count(), 1, 1)
+    mesh_module.set_current(spec)
+    state = place_state(state, spec)
+    batch = place_batch(batch, spec)
+    return state, batch, spec
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -73,37 +99,55 @@ def main() -> None:
     )
     model = MMBert(cfg, dtype=jnp.bfloat16)
 
-    B, T, S = BATCH, cfg.max_position_embeddings, cfg.image_size
+    # global batch = 128 per chip (DP weak scaling on multi-chip rigs)
+    B = BATCH * jax.device_count()
+    T, S = cfg.max_position_embeddings, cfg.image_size
     rng = np.random.default_rng(0)
-    raw = jnp.asarray(rng.integers(0, 255, (B, S, S, 3), dtype=np.uint8))
-    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)), jnp.int32)
-    seg = jnp.concatenate(
-        [jnp.zeros((B, 7), jnp.int32), jnp.ones((B, T - 7), jnp.int32)], 1
+    raw = rng.integers(0, 255, (B, S, S, 3), dtype=np.uint8)
+    ids = rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32)
+    seg = np.concatenate(
+        [np.zeros((B, 7), np.int32), np.ones((B, T - 7), np.int32)], 1
     )
-    mask = jnp.ones((B, T), jnp.float32)
-    labels = jnp.asarray(
-        (rng.integers(0, cfg.vocab_size, (B, T))
-         * (rng.random((B, T)) < 0.15)).astype(np.int32)
-    )
+    mask = np.ones((B, T), np.float32)
+    labels = (
+        rng.integers(0, cfg.vocab_size, (B, T))
+        * (rng.random((B, T)) < 0.15)
+    ).astype(np.int32)
 
     img0 = jax.jit(
         lambda x: process_batch(x, jax.random.PRNGKey(0), PRETRAIN_AUG, False)
-    )(raw)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img0, ids, seg, mask)
+    )(jnp.asarray(raw[:BATCH]))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), img0, jnp.asarray(ids[:BATCH]),
+        jnp.asarray(seg[:BATCH]), jnp.asarray(mask[:BATCH]),
+    )
     state = create_train_state(variables, 2e-5)
+    batch = {"image": raw, "tokens": ids, "segment_ids": seg,
+             "input_mask": mask, "labels": labels}
+    state, batch, _ = place_for_devices(state, batch)
 
-    def one_step(state, key):
+    # the batch is threaded as a jit ARGUMENT (not a Python closure over
+    # concrete arrays): closed-over arrays bake into the compile request as
+    # constants — 0.5 GB params did exactly that once and the remote
+    # compile died with HTTP 413 — and an argument keeps its committed
+    # NamedSharding on multi-chip meshes. INSIDE the jit the scan body
+    # closes over the batch tracers, making them loop-INVARIANT scan
+    # operands. (r4 A/B: carry-threaded vs closure-invariant batch is a
+    # WASH — the 880-vs-940 img/s regression seen during the restructure
+    # was the batch left as numpy, re-uploading per call; see
+    # place_for_devices.)
+    def one_step(state, b, key):
         k1, k2 = jax.random.split(key)
-        img = process_batch(raw, k1, PRETRAIN_AUG, True)
+        img = process_batch(b["image"], k1, PRETRAIN_AUG, True)
 
         def loss_fn(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                img, ids, seg, mask,
+                img, b["tokens"], b["segment_ids"], b["input_mask"],
                 deterministic=False, train_cnn=True,
                 rngs={"dropout": k2}, mutable=["batch_stats"],
             )
-            return masked_mlm_nll(out, labels), mut["batch_stats"]
+            return masked_mlm_nll(out, b["labels"]), mut["batch_stats"]
 
         (loss, bstats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -115,11 +159,13 @@ def main() -> None:
     # =(0,)) and lets XLA alias the param/opt buffers in place of copying
     # every leaf at program entry
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def run(state, key):
+    def run(state, b, key):
         keys = jax.random.split(key, STEPS)
-        return jax.lax.scan(one_step, state, keys)
+        return jax.lax.scan(
+            lambda s, kk: one_step(s, b, kk), state, keys
+        )
 
-    state, losses = run(state, jax.random.PRNGKey(1))  # compile + warmup
+    state, losses = run(state, batch, jax.random.PRNGKey(1))  # compile+warmup
     np.asarray(losses)
 
     # Roofline accounting (VERDICT r2 #2). FLOPs are counted analytically by
@@ -131,17 +177,19 @@ def main() -> None:
     try:
         from mmvqa_tpu.utils.flops import train_step_flops
 
-        flops_step = train_step_flops(one_step, state, jax.random.PRNGKey(1))
+        flops_step = train_step_flops(
+            one_step, state, batch, jax.random.PRNGKey(1)
+        )
         bytes_step = MEASURED_HBM_GB_PER_STEP * 1e9
     except Exception as e:
         print(f"# flop accounting unavailable: {e!r}", flush=True)
     t0 = time.time()
-    state, losses = run(state, jax.random.PRNGKey(2))
+    state, losses = run(state, batch, jax.random.PRNGKey(2))
     np.asarray(losses)  # host sync
     dt = (time.time() - t0) / STEPS
 
     n_chips = jax.device_count()
-    img_per_sec = BATCH / dt / n_chips
+    img_per_sec = B / dt / n_chips  # B = BATCH * n_chips (global batch)
     record = {
         "metric": "pretrain_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
@@ -149,6 +197,8 @@ def main() -> None:
         "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
     }
     if flops_step is not None:
+        # roofline fields are PER CHIP (flops walked the global-batch jaxpr)
+        flops_step = flops_step / n_chips
         t_flops = flops_step / PEAK_BF16_FLOPS
         t_bytes = bytes_step / PEAK_HBM_BYTES_PER_SEC
         record.update({
