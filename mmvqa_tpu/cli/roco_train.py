@@ -217,7 +217,10 @@ def main(argv: Optional[list] = None) -> None:
         if hist_logger is not None:
             # --watch_histograms: per-parameter grad/weight histograms,
             # one extra undonated step on a pinned batch (state unchanged)
-            rng, hrng = jax.random.split(rng)
+            # fold_in, NOT split: a pure observability flag must not
+            # consume from the main rng stream (it would change the
+            # training trajectory vs a run without --watch_histograms)
+            hrng = jax.random.fold_in(rng, 0x4157 + epoch)
             sink.log_histograms(hist_logger(state, hrng), step=epoch)
         print(content)
         print(f"[mmvqa] {tm['items_per_sec']:.1f} train items/s")

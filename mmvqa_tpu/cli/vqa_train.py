@@ -219,7 +219,10 @@ def main(argv: Optional[list] = None) -> None:
             print(f"val_{cfg.category}_acc {val_acc_v:.2f}")
 
         if hist_logger is not None:
-            rng, hrng = jax.random.split(rng)
+            # fold_in, NOT split: a pure observability flag must not
+            # consume from the main rng stream (it would change the
+            # training trajectory vs a run without --watch_histograms)
+            hrng = jax.random.fold_in(rng, 0x4157 + epoch)
             sink.log_histograms(hist_logger(state, hrng), step=epoch)
 
         if vm["loss"] < best_loss:

@@ -41,6 +41,14 @@ ROCO_BAD_IMAGES = (
 )
 
 
+def _decode_image(cache, path: str, size: int) -> np.ndarray:
+    """Decode via the optional cache (RamImageCache / DecodedImageCache) —
+    the ONE place both datasets route decodes through."""
+    if cache is not None:
+        return cache.load(path, size)
+    return load_image(path, size)
+
+
 def get_keywords(data_dir: str) -> List[str]:
     """med_vocab.pkl -> flat keyword list (roco_utils.py:47-63)."""
     with open(os.path.join(data_dir, "vocab", "med_vocab.pkl"), "rb") as f:
@@ -186,10 +194,9 @@ class ROCODataset:
         return self._teacher_fn
 
     def _decode(self, idx: int) -> np.ndarray:
-        if self.image_cache is not None:
-            return self.image_cache.load(self.image_path(idx),
-                                         self.cfg.image_size)
-        return load_image(self.image_path(idx), self.cfg.image_size)
+        return _decode_image(
+            self.image_cache, self.image_path(idx), self.cfg.image_size
+        )
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         img = self._decode(idx)
@@ -269,11 +276,9 @@ class VQADataset:
         return self.df.loc[idx, "img_id"]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        if self.image_cache is not None:
-            img = self.image_cache.load(self.image_path(idx),
-                                        self.cfg.image_size)
-        else:
-            img = load_image(self.image_path(idx), self.cfg.image_size)
+        img = _decode_image(
+            self.image_cache, self.image_path(idx), self.cfg.image_size
+        )
         if self.mode == "train":
             from mmvqa_tpu.data.images import random_rotate_host
 

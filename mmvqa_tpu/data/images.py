@@ -61,17 +61,24 @@ def load_image(path: str, size: int = 224) -> np.ndarray:
 
 class RamImageCache:
     """In-RAM decoded-image cache (decode only — random transforms stay
-    per-epoch). Decoded ROCO at 224px is ~10 GB; the host has 125 GB."""
+    per-epoch). Decoded ROCO at 224px is ~10 GB; the host has 125 GB.
 
-    def __init__(self) -> None:
+    ``backing``: optional second-level cache (a DecodedImageCache) that
+    misses fall through to — with both --cache_images and
+    --image_cache_dir set, epoch 1 fills RAM from the disk memmap
+    (~2,370 img/s) and warm epochs serve from RAM (~7,500 img/s)."""
+
+    def __init__(self, backing=None) -> None:
         self._store: dict = {}
         self._lock = threading.Lock()
+        self._backing = backing
 
     def load(self, path: str, size: int) -> np.ndarray:
         key = (path, size)
         img = self._store.get(key)
         if img is None:
-            img = load_image(path, size)
+            img = (self._backing.load(path, size) if self._backing
+                   is not None else load_image(path, size))
             with self._lock:
                 self._store[key] = img
         return img

@@ -53,10 +53,17 @@ class BatchLoader:
                 # sample-level caching would FREEZE the per-epoch randomness
                 # (host rotation, MLM masks, back-translation pick) — cache
                 # only the deterministic decode on the dataset instead
-                if dataset.image_cache is None:
-                    from mmvqa_tpu.data.images import RamImageCache
+                from mmvqa_tpu.data.images import RamImageCache
 
+                if dataset.image_cache is None:
                     dataset.image_cache = RamImageCache()
+                elif not isinstance(dataset.image_cache, RamImageCache):
+                    # both --cache_images and --image_cache_dir: layer RAM
+                    # over the disk cache (disk alone would serve warm
+                    # epochs ~3x slower than RAM)
+                    dataset.image_cache = RamImageCache(
+                        backing=dataset.image_cache
+                    )
             else:
                 self._cache = {}
 

@@ -185,13 +185,18 @@ def make_mlm_steps(
         (loss, (logits, bstats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        pre_update_params = state.params
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
         correct, total = _mlm_metrics(logits, batch["labels"], w)
         metrics = {"loss": loss, "correct": correct, "total": total}
         if cfg.watch:
             metrics.update(_grad_norms(grads))
         if histograms:
-            metrics.update(grad_weight_histograms(grads, state.params))
+            # histograms describe the params the gradients were taken AT
+            # (the state being monitored/checkpointed) — post-update params
+            # include one extra step on the pinned batch and never exist in
+            # the real training state
+            metrics.update(grad_weight_histograms(grads, pre_update_params))
         return state, metrics
 
     def eval_step(state: TrainState, batch):
@@ -244,10 +249,15 @@ def make_distill_steps(model, cfg: Config, aug: AugmentSpec = PRETRAIN_AUG,
         (loss, bstats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        pre_update_params = state.params
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
         metrics = {"loss": loss}
         if histograms:
-            metrics.update(grad_weight_histograms(grads, state.params))
+            # histograms describe the params the gradients were taken AT
+            # (the state being monitored/checkpointed) — post-update params
+            # include one extra step on the pinned batch and never exist in
+            # the real training state
+            metrics.update(grad_weight_histograms(grads, pre_update_params))
         return state, metrics
 
     def eval_step(state: TrainState, batch):
@@ -313,6 +323,7 @@ def make_supcon_steps(
         (loss, (logits, bstats, nll, con)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        pre_update_params = state.params
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
         correct, total = _mlm_metrics(logits, labels, w)
         metrics = {
@@ -320,7 +331,11 @@ def make_supcon_steps(
             "correct": correct, "total": total,
         }
         if histograms:
-            metrics.update(grad_weight_histograms(grads, state.params))
+            # histograms describe the params the gradients were taken AT
+            # (the state being monitored/checkpointed) — post-update params
+            # include one extra step on the pinned batch and never exist in
+            # the real training state
+            metrics.update(grad_weight_histograms(grads, pre_update_params))
         return state, metrics
 
     # validation is plain MLM (roco_supcon_train.py:174) on the supcon model,
@@ -431,11 +446,16 @@ def make_vqa_steps(
         (loss, (logits, bstats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        pre_update_params = state.params
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
         preds = jnp.argmax(logits, axis=-1)
         metrics = {"loss": loss, "preds": preds}
         if histograms:
-            metrics.update(grad_weight_histograms(grads, state.params))
+            # histograms describe the params the gradients were taken AT
+            # (the state being monitored/checkpointed) — post-update params
+            # include one extra step on the pinned batch and never exist in
+            # the real training state
+            metrics.update(grad_weight_histograms(grads, pre_update_params))
         return state, metrics
 
     def eval_step(state: TrainState, batch):
@@ -496,6 +516,7 @@ def make_img_only_steps(model, cfg: Config, aug: AugmentSpec = FINETUNE_AUG):
         (loss, (logits, bstats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        pre_update_params = state.params
         state = state.apply_gradients(grads).replace(batch_stats=bstats)
         return state, {"loss": loss, "preds": jnp.argmax(logits, -1)}
 

@@ -1,7 +1,6 @@
 """Device augmentation pipeline tests."""
 
 import numpy as np
-from shlex import quote as _shell_quote
 import pytest
 
 import jax
@@ -186,7 +185,6 @@ class TestDecodedImageCache:
         not corrupt each other: flock'd appends with size-derived slots +
         merge-on-flush indexes. A fresh instance afterwards must read every
         image back bit-exactly from the merged cache."""
-        import multiprocessing as mp
         import os
         import sys
 
@@ -214,20 +212,20 @@ class TestDecodedImageCache:
             "c.flush()\n"
         )
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        # overlapping halves so both processes race on shared images too
+        # overlapping halves so both processes race on shared images too;
+        # Popen (not os.system-in-mp.Process) so a child python failing
+        # actually fails the test via its real returncode
+        import subprocess
+
         procs = [
-            mp.Process(
-                target=os.system,
-                args=(f"{sys.executable} -c "
-                      f"{_shell_quote(code.format(root=root, cdir=cdir, paths=chunk))}",),
+            subprocess.Popen(
+                [sys.executable, "-c",
+                 code.format(root=root, cdir=cdir, paths=chunk)],
             )
             for chunk in (paths[:8], paths[4:])
         ]
         for p in procs:
-            p.start()
-        for p in procs:
-            p.join()
-            assert p.exitcode == 0
+            assert p.wait(timeout=120) == 0
 
         cache = DecodedImageCache(cdir, 16)
         assert len(cache) == 12

@@ -180,3 +180,41 @@ def test_cache_images_eval_dataset_keeps_sample_cache(tmp_path):
     assert loader._cache is not None
     list(loader)
     assert len(loader._cache) == 4
+
+
+def test_cache_images_layers_ram_over_disk_cache(tmp_path):
+    """--cache_images + --image_cache_dir together: the train dataset's
+    disk cache gets WRAPPED by a RamImageCache (misses fall through to the
+    memmap), not silently ignored — warm epochs must serve from RAM."""
+    from mmvqa_tpu.core.config import pretrain_config
+    from mmvqa_tpu.data import ROCODataset
+    from mmvqa_tpu.data.fixtures import make_roco_fixture
+    from mmvqa_tpu.data.images import DecodedImageCache, RamImageCache
+    from mmvqa_tpu.data.tokenizer import WordPieceTokenizer
+
+    root = make_roco_fixture(str(tmp_path / "roco"), 4, 2, seed=0,
+                             image_size=32)
+    cfg = pretrain_config(data_dir=root, image_size=32, mlm_prob=0.5,
+                          max_position_embeddings=24, batch_size=4)
+    tok = WordPieceTokenizer.find_and_load(root, "")
+    cfg = cfg.replace(vocab_size=tok.vocab_size)
+    import pandas as pd
+
+    df = pd.read_csv(f"{root}/train/radiology/traindata.csv")
+    disk = DecodedImageCache(str(tmp_path / "cache"), 32)
+    ds = ROCODataset(cfg, df, tok, ["lung"], "train", image_cache=disk)
+
+    BatchLoader(ds, batch_size=4, num_workers=1, cache_images=True)
+    assert isinstance(ds.image_cache, RamImageCache)
+    assert ds.image_cache._backing is disk
+
+    img = ds[0]["image"]  # decodes through RAM -> disk
+    assert len(disk) >= 1  # the miss fell through and filled the disk cache
+    assert img.shape == (32, 32, 3)
+
+    # second read: RAM hit — the disk cache must NOT be consulted again
+    reads = []
+    orig = disk.load
+    disk.load = lambda p, s: (reads.append(p), orig(p, s))[1]
+    ds[0]
+    assert reads == []
