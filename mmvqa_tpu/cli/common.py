@@ -49,6 +49,9 @@ def add_tpu_flags(p: argparse.ArgumentParser) -> None:
                         "amortizes the ~83 ms per-dispatch tunnel overhead "
                         "(measured K-sweep: 149.1/143.6/142.3 ms/step at "
                         "K=10/30/60 — 60 is the settled sweet spot)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="average N micro-batches into one optimizer update "
+                        "(effective batch = N x batch_size)")
     p.add_argument("--token_head", type=str, default="auto",
                    choices=["auto", "conv", "einsum", "pallas",
                             "pallas_sharded"],

@@ -38,7 +38,9 @@ def init_model_state(
     cnn_checkpoint="", bert_checkpoint="",
 ):
     """jit-compiled init (fast), optional pretrained backbone/embedding
-    import (torchvision/timm/HF state_dicts), DP/TP placement."""
+    import (torchvision/timm/HF state_dicts), DP/TP placement. grad_accum
+    comes from cfg (``--grad_accum``): N micro-batches average into one
+    optimizer update (optax.MultiSteps)."""
     from mmvqa_tpu.parallel.sharding import place_state
 
     B = sample_batch["tokens"].shape[0]
@@ -72,7 +74,9 @@ def init_model_state(
         params["bert_embedding"] = emb
         variables["params"] = params
         print(f"[mmvqa] imported BERT embeddings from {bert_checkpoint}")
-    state = create_train_state(variables, lr, clip)
+    state = create_train_state(
+        variables, lr, clip, grad_accum=getattr(cfg, "grad_accum", 1)
+    )
     return place_state(state, mesh_spec)
 
 

@@ -120,6 +120,11 @@ class Config:
     # ~83 ms through the remote-device tunnel (A/B: 149.1 -> 143.6 -> 142.3
     # ms/step at K=10/30/60, B=128); 60 is the settled sweet spot
     steps_per_call: int = 60
+    # gradient accumulation: average N micro-batches into ONE optimizer
+    # update (optax.MultiSteps inside the hyperparam-injected tx) —
+    # effective batch = N x batch_size when the target batch exceeds HBM.
+    # BN batch stats still update per micro-batch (torch-accum semantics).
+    grad_accum: int = 1
     # visual-token head impl: 'auto' = fused Pallas kernel for the huge
     # stage-0 map on a single TPU chip, conv elsewhere (same-session A/B:
     # conv 151.9 / pallas-stage0 149.9 ms per step at B=128 bf16)

@@ -61,7 +61,18 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_optimizer(lr: float, clip: bool = False) -> optax.GradientTransformation:
+def make_optimizer(
+    lr: float, clip: bool = False, grad_accum: int = 1
+) -> optax.GradientTransformation:
+    """Adam (+optional clip), optionally wrapped in optax.MultiSteps for
+    gradient accumulation (``--grad_accum``: N micro-batches average into
+    one update — effective batch N x batch_size when the target batch
+    does not fit HBM; no reference equivalent). MultiSteps nests INSIDE
+    inject_hyperparams so ``opt_state.hyperparams`` stays the top level:
+    ``with_lr``/plateau-LR, checkpointing, and TP placement all see the
+    same structure, and the accumulator tree is params-shaped so
+    ``place_state`` shards it exactly like the Adam moments."""
+
     @optax.inject_hyperparams
     def tx(learning_rate):
         chain = []
@@ -74,15 +85,19 @@ def make_optimizer(lr: float, clip: bool = False) -> optax.GradientTransformatio
         chain.append(
             optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
         )
-        return optax.chain(*chain)
+        inner = optax.chain(*chain)
+        if grad_accum > 1:
+            inner = optax.MultiSteps(inner, every_k_schedule=grad_accum)
+        return inner
 
     return tx(learning_rate=lr)
 
 
 def create_train_state(
-    variables: FrozenDict, lr: float, clip: bool = False
+    variables: FrozenDict, lr: float, clip: bool = False,
+    grad_accum: int = 1,
 ) -> TrainState:
-    tx = make_optimizer(lr, clip)
+    tx = make_optimizer(lr, clip, grad_accum)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     # ONE jitted program for the whole optimizer-state init: eagerly,
