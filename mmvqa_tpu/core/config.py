@@ -163,6 +163,8 @@ class Config:
             "feedback-transformer",
         ):
             raise ValueError(f"unknown transformer_model {self.transformer_model}")
+        if self.grad_accum < 1:
+            raise ValueError(f"--grad_accum must be >= 1, got {self.grad_accum}")
 
 
 def pretrain_config(**kw: Any) -> Config:
