@@ -105,3 +105,42 @@ def test_grad_accum_state_places_on_mesh(tiny):
     state, m = train_step(state, placed, jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
     assert int(state.step) == 2
+
+
+def test_grad_accum_recorder_roundtrip(tiny, tmp_path):
+    """Mid-accumulation resume: the recorder must round-trip the
+    MultiStepsState (mini_step counter + accumulator tree), so a run
+    killed between micro-steps continues exactly."""
+    from mmvqa_tpu.train import ReduceLROnPlateau, checkpoint
+
+    cfg, model, batch, variables = tiny
+    state = create_train_state(
+        jax.tree.map(jnp.array, variables), 1e-3, grad_accum=2
+    )
+    train_step, _ = make_mlm_steps(model, cfg)
+    placed = {k: jnp.asarray(v) for k, v in batch.items()}
+    state, _ = train_step(state, placed, jax.random.PRNGKey(1))  # mid-accum
+
+    save = str(tmp_path / "ckpt")
+    checkpoint.save_recorder(
+        save, 3, state, ReduceLROnPlateau(lr=1e-3).state_dict()
+    )
+    fresh = create_train_state(
+        jax.tree.map(jnp.array, variables), 1e-3, grad_accum=2
+    )
+    restored, sched, epoch = checkpoint.restore_recorder(save, fresh)
+    assert epoch == 3
+
+    # both continue with micro-step 2 and must land on identical params
+    s_a, _ = train_step(state, placed, jax.random.PRNGKey(2))
+    s_b, _ = train_step(restored, placed, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s_a.params)[0]),
+        np.asarray(jax.tree.leaves(s_b.params)[0]),
+        rtol=1e-6, atol=1e-7,
+    )
+    # and the update actually happened (params differ from pre-step)
+    assert not np.array_equal(
+        np.asarray(jax.tree.leaves(s_b.params)[0]),
+        np.asarray(jax.tree.leaves(restored.params)[0]),
+    )
