@@ -26,6 +26,10 @@ def add_tpu_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cp_size", type=int, default=1,
                    help="context(sequence)-parallel mesh size (no-op at the "
                         "reference sequence lengths; shards the token axis)")
+    p.add_argument("--fsdp", action="store_true", default=False,
+                   help="ZeRO-style fully-sharded data parallelism: shard "
+                        "params + optimizer state over the data axis "
+                        "(~1/dp per-device state memory, same math)")
     p.add_argument("--cache_images", action="store_true", default=False,
                    help="cache decoded images in RAM (train datasets cache "
                         "only the decode; per-epoch randomness is kept)")

@@ -77,7 +77,7 @@ def init_model_state(
     state = create_train_state(
         variables, lr, clip, grad_accum=getattr(cfg, "grad_accum", 1)
     )
-    return place_state(state, mesh_spec)
+    return place_state(state, mesh_spec, fsdp=getattr(cfg, "fsdp", False))
 
 
 def main(argv: Optional[list] = None) -> None:

@@ -108,6 +108,11 @@ class Config:
     dp_size: int = -1            # data-parallel mesh size (-1 = all devices)
     tp_size: int = 1             # tensor-parallel mesh size
     cp_size: int = 1             # context(sequence)-parallel mesh size (§5.7)
+    # ZeRO-style fully-sharded data parallelism: shard params + Adam
+    # moments over the 'data' axis (parallel/sharding.py FSDP rule);
+    # GSPMD all-gathers weights at use and reduce-scatters grads.
+    # ~1/dp per-device state memory, bit-identical math to pure DP.
+    fsdp: bool = False
     host_augment: bool = False   # force host-side augmentation (debug)
     tiny_cnn: bool = False       # 1-block-per-stage CNN trunks (tests/dryruns)
     donate: bool = True          # donate train-state buffers to the jit step

@@ -14,6 +14,19 @@ divides by the 'model' axis size):
 * the vocab classifier (classifier_2) -> column-parallel over classes;
 * embeddings -> sharded over the vocab axis.
 Everything else (norms, biases, convs' spatial kernels) replicates.
+
+FSDP rule (ZeRO-style, ``--fsdp``): every parameter leaf with at least
+``FSDP_MIN_SIZE`` elements additionally shards its largest still-free dim
+over the 'data' axis — and because ``place_state`` mirrors the Adam
+moments onto their params' layouts, the optimizer state (2x param bytes)
+shards with them. GSPMD picks the per-layer resharding (weight all-gather
+at use, or — when activations are smaller than the weight, as in the tiny
+audit model — channel-parallel compute with activation reshards); either
+way per-device state memory drops ~1/dp and the math matches pure DP
+exactly (tests/test_fsdp.py + the dryrun artifact; the communication
+budget is pinned by tests/test_sharding_audit.py). Leaves below the
+threshold stay replicated — gathering a tiny bias costs a latency-bound
+collective and saves nothing.
 """
 
 from __future__ import annotations
@@ -24,7 +37,12 @@ import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from mmvqa_tpu.core.mesh import MODEL_AXIS, MeshSpec
+from mmvqa_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, MeshSpec
+
+# Smallest leaf (elements) worth FSDP-sharding: below this the per-use
+# all-gather is latency-bound and the memory saved is noise. Tests lower
+# it so tiny fixture models exercise the path.
+FSDP_MIN_SIZE = 2 ** 15
 
 COLUMN_PARALLEL = (
     "fc1", "ff1", "w_in", "pw_exp", "proj_q", "proj_k", "proj_v", "kqv",
@@ -66,28 +84,57 @@ def _spec_for(path: tuple, leaf: Any, tp: int) -> P:
     return P()
 
 
-def infer_param_shardings(params: Any, mesh_spec: MeshSpec) -> Any:
+def _with_fsdp(spec: P, shape: tuple, dp: int) -> P:
+    """Add the 'data' axis to ``spec`` on the largest still-unsharded dim
+    divisible by ``dp`` (ZeRO-style weight sharding). Composes with TP:
+    a kernel already column-parallel over 'model' gets its OTHER dim
+    sharded over 'data' (standard 2-D FSDP+TP layout). Leaves with no
+    divisible free dim stay as-is (replicated over 'data') — graceful,
+    never an error."""
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    free = [
+        d for d in range(len(shape))
+        if entries[d] is None and shape[d] % dp == 0
+    ]
+    if not free:
+        return spec
+    d = max(free, key=lambda i: shape[i])
+    entries[d] = DATA_AXIS
+    while entries and entries[-1] is None:  # canonical: no trailing Nones
+        entries.pop()
+    return P(*entries)
+
+
+def infer_param_shardings(
+    params: Any, mesh_spec: MeshSpec, fsdp: bool = False
+) -> Any:
     """PyTree of NamedShardings mirroring ``params``."""
     tp = mesh_spec.model_size
+    dp = mesh_spec.data_size
     mesh = mesh_spec.mesh
 
     def one(path, leaf):
-        return NamedSharding(mesh, _spec_for(path, leaf, tp))
+        spec = _spec_for(path, leaf, tp)
+        if fsdp and dp > 1 and np.size(leaf) >= FSDP_MIN_SIZE \
+                and np.ndim(leaf) >= 2:
+            spec = _with_fsdp(spec, np.shape(leaf), dp)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def place_state(state, mesh_spec: MeshSpec):
-    """Place a TrainState: params per TP rule, optimizer moments mirroring
-    their params' layout, everything else replicated.
+def place_state(state, mesh_spec: MeshSpec, fsdp: bool = False):
+    """Place a TrainState: params per TP rule (+ ZeRO-style 'data'-axis
+    sharding when ``fsdp``), optimizer moments mirroring their params'
+    layout, everything else replicated.
 
     Adam's ``mu``/``nu`` trees are structural copies of ``params`` (optax
     builds them with tree_map), so any opt_state subtree whose treedef
     equals the params treedef gets the per-leaf param shardings. This keeps
-    TP memory scaling for the optimizer (2x param bytes) and avoids per-step
-    resharding of moments against TP-sharded params.
+    TP/FSDP memory scaling for the optimizer (2x param bytes) and avoids
+    per-step resharding of moments against sharded params.
     """
-    p_sh = infer_param_shardings(state.params, mesh_spec)
+    p_sh = infer_param_shardings(state.params, mesh_spec, fsdp=fsdp)
     rep = mesh_spec.replicated()
     p_struct = jax.tree_util.tree_structure(state.params)
 

@@ -104,7 +104,7 @@ REF_CHOICES = {
 # our TPU-native additive surface (anything else new fails the test)
 ALLOWED_ADDITIVE = {
     # add_tpu_flags (cli/common.py)
-    "vocab_file", "dp_size", "tp_size", "cp_size", "cache_images",
+    "vocab_file", "dp_size", "tp_size", "cp_size", "fsdp", "cache_images",
     "image_cache_dir", "profile_dir", "debug_nans", "use_sim_mask",
     "cnn_checkpoint", "bert_checkpoint", "steps_per_call", "token_head",
     "tiny_cnn", "attention_impl", "grad_accum",

@@ -77,9 +77,15 @@ def audit_hlo(hlo_text: str) -> dict:
     return out
 
 
-def lower_train_step(dp: int, tp: int, cp: int, vocab: int = 128):
+def lower_train_step(
+    dp: int, tp: int, cp: int, vocab: int = 128, fsdp: bool = False
+):
     """Compiled HLO text of the full (tiny-CNN) MLM train step on a
-    dp x tp x cp mesh, plus the fp32 parameter byte count."""
+    dp x tp x cp mesh, plus the fp32 parameter byte count. ``fsdp``
+    additionally ZeRO-shards params/moments over 'data' (threshold
+    dropped to 0 so the tiny audit model exercises the layout — the
+    fingerprint under test is the communication pattern, not the
+    real-scale threshold)."""
     import numpy as np
 
     import jax
@@ -89,6 +95,7 @@ def lower_train_step(dp: int, tp: int, cp: int, vocab: int = 128):
     from mmvqa_tpu.core.config import pretrain_config
     from mmvqa_tpu.core.mesh import make_mesh
     from mmvqa_tpu.models import MMBert
+    from mmvqa_tpu.parallel import sharding as sharding_module
     from mmvqa_tpu.parallel.sharding import place_batch, place_state
     from mmvqa_tpu.train import create_train_state, make_mlm_steps
 
@@ -118,9 +125,14 @@ def lower_train_step(dp: int, tp: int, cp: int, vocab: int = 128):
     )
     spec = make_mesh(dp, tp, cp)
     old = mesh_module.CURRENT
+    old_min = sharding_module.FSDP_MIN_SIZE
     try:
         mesh_module.set_current(spec)  # arms the activation constraints
-        state = place_state(create_train_state(variables, 1e-3), spec)
+        if fsdp:
+            sharding_module.FSDP_MIN_SIZE = 0
+        state = place_state(
+            create_train_state(variables, 1e-3), spec, fsdp=fsdp
+        )
         placed = place_batch(batch, spec)
         train_step, _ = make_mlm_steps(model, cfg)  # already jitted
         txt = (
@@ -130,6 +142,7 @@ def lower_train_step(dp: int, tp: int, cp: int, vocab: int = 128):
         )
     finally:
         mesh_module.set_current(old)
+        sharding_module.FSDP_MIN_SIZE = old_min
     return txt, param_bytes
 
 
@@ -150,12 +163,16 @@ def main(argv=None) -> None:
     p.add_argument("--dp", type=int, default=8)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--cp", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true", default=False)
     args = p.parse_args(argv)
 
-    txt, param_bytes = lower_train_step(args.dp, args.tp, args.cp)
+    txt, param_bytes = lower_train_step(
+        args.dp, args.tp, args.cp, fsdp=args.fsdp
+    )
     report = audit_hlo(txt)
     print(json.dumps({
         "mesh": {"data": args.dp, "model": args.tp, "context": args.cp},
+        "fsdp": args.fsdp,
         "param_bytes": param_bytes,
         "collectives": report,
     }))
