@@ -30,6 +30,13 @@ def add_tpu_flags(p: argparse.ArgumentParser) -> None:
                    help="ZeRO-style fully-sharded data parallelism: shard "
                         "params + optimizer state over the data axis "
                         "(~1/dp per-device state memory, same math)")
+    p.add_argument("--pp_size", type=int, default=1,
+                   help="pipeline-parallel mesh size: GPipe microbatch "
+                        "schedule over the layer stack (vanilla transformer "
+                        "only; composes with --dp_size)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches per data shard (0 = auto: 2*pp "
+                        "if it divides the per-shard batch, else pp)")
     p.add_argument("--cache_images", action="store_true", default=False,
                    help="cache decoded images in RAM (train datasets cache "
                         "only the decode; per-epoch randomness is kept)")
@@ -233,7 +240,7 @@ def setup_runtime(cfg: Config):
     enable_compilation_cache()
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    mesh_spec = make_mesh(cfg.dp_size, cfg.tp_size, cfg.cp_size)
+    mesh_spec = make_mesh(cfg.dp_size, cfg.tp_size, cfg.cp_size, cfg.pp_size)
     from mmvqa_tpu.core import mesh as mesh_module
 
     mesh_module.set_current(mesh_spec)

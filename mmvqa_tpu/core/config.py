@@ -113,6 +113,15 @@ class Config:
     # GSPMD all-gathers weights at use and reduce-scatters grads.
     # ~1/dp per-device state memory, bit-identical math to pure DP.
     fsdp: bool = False
+    # Pipeline parallelism (parallel/pipeline.py): with pp_size>1 the
+    # vanilla transformer's layer stack shards over the mesh 'pipe' axis
+    # and runs a GPipe microbatch schedule in shard_map (ppermute hops over
+    # ICI). Composes with DP; requires transformer_model='transformer',
+    # tp_size==1, cp_size==1, n_layers % pp_size == 0.
+    pp_size: int = 1
+    # GPipe microbatches per data shard (0 = auto: 2*pp if it divides the
+    # per-shard batch, else pp). Bubble fraction = (pp-1)/(M+pp-1).
+    pp_microbatches: int = 0
     host_augment: bool = False   # force host-side augmentation (debug)
     tiny_cnn: bool = False       # 1-block-per-stage CNN trunks (tests/dryruns)
     donate: bool = True          # donate train-state buffers to the jit step
@@ -170,6 +179,24 @@ class Config:
             raise ValueError(f"unknown transformer_model {self.transformer_model}")
         if self.grad_accum < 1:
             raise ValueError(f"--grad_accum must be >= 1, got {self.grad_accum}")
+        if self.pp_size > 1:
+            if self.transformer_model != "transformer":
+                raise ValueError(
+                    "--pp_size > 1 supports transformer_model='transformer' "
+                    f"only (got {self.transformer_model!r}): the realformer "
+                    "score carry and the feedback memory are cross-layer "
+                    "state the GPipe schedule does not thread (v1)"
+                )
+            if self.tp_size != 1 or self.cp_size != 1:
+                raise ValueError(
+                    "--pp_size composes with data parallelism only (v1): "
+                    f"tp_size={self.tp_size}, cp_size={self.cp_size}"
+                )
+            if self.n_layers % self.pp_size != 0:
+                raise ValueError(
+                    f"n_layers {self.n_layers} not divisible by "
+                    f"pp_size {self.pp_size}"
+                )
 
 
 def pretrain_config(**kw: Any) -> Config:

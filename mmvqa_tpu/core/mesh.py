@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 CONTEXT_AXIS = "context"
+PIPE_AXIS = "pipe"
 
 # The process-wide active mesh, installed by cli.common.setup_runtime (or
 # tests). Modules that can wrap a Pallas kernel in shard_map when a
@@ -48,6 +49,10 @@ class MeshSpec:
     def context_size(self) -> int:
         return self.mesh.shape.get(CONTEXT_AXIS, 1)
 
+    @property
+    def pipe_size(self) -> int:
+        return self.mesh.shape.get(PIPE_AXIS, 1)
+
     def batch_sharding(self) -> NamedSharding:
         """Batch tensors: sharded on the leading (batch) dim over 'data'."""
         return NamedSharding(self.mesh, P(DATA_AXIS))
@@ -63,12 +68,13 @@ def make_mesh(
     dp_size: int = -1,
     tp_size: int = 1,
     cp_size: int = 1,
+    pp_size: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> MeshSpec:
-    """Build a ('data', 'model', 'context') mesh.
+    """Build a ('data', 'model', 'context', 'pipe') mesh.
 
-    ``dp_size=-1`` uses every device not claimed by tensor/context
-    parallelism. On a single chip this degenerates to a 1x1x1 mesh, so the
+    ``dp_size=-1`` uses every device not claimed by tensor/context/pipeline
+    parallelism. On a single chip this degenerates to a 1x1x1x1 mesh, so the
     same jit'd train step runs unchanged from one chip to a full slice.
 
     The 'context' axis is the sequence-parallel hook promised by SURVEY.md
@@ -76,6 +82,12 @@ def make_mesh(
     strict no-op); with cp_size>1 ``place_batch`` shards the token axis over
     it and GSPMD inserts the attention gathers. Ring/blockwise attention can
     later specialize the same axis without any API change.
+
+    The 'pipe' axis is the pipeline-parallel axis (parallel/pipeline.py):
+    with pp_size>1 the vanilla BertEncoder's layer stack shards over it and
+    runs a GPipe microbatch schedule inside shard_map; at pp_size=1 it is a
+    strict no-op for every existing sharding spec (unmentioned axes
+    replicate).
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
@@ -83,17 +95,21 @@ def make_mesh(
         tp_size = 1
     if cp_size <= 0:
         cp_size = 1
+    if pp_size <= 0:
+        pp_size = 1
     if dp_size == -1:
-        if n % (tp_size * cp_size) != 0:
+        if n % (tp_size * cp_size * pp_size) != 0:
             raise ValueError(
-                f"{n} devices not divisible by tp_size*cp_size="
-                f"{tp_size * cp_size}"
+                f"{n} devices not divisible by tp_size*cp_size*pp_size="
+                f"{tp_size * cp_size * pp_size}"
             )
-        dp_size = n // (tp_size * cp_size)
-    if dp_size * tp_size * cp_size != n:
+        dp_size = n // (tp_size * cp_size * pp_size)
+    if dp_size * tp_size * cp_size * pp_size != n:
         raise ValueError(
-            f"dp_size*tp_size*cp_size = {dp_size * tp_size * cp_size} "
-            f"!= device count {n}"
+            f"dp_size*tp_size*cp_size*pp_size = "
+            f"{dp_size * tp_size * cp_size * pp_size} != device count {n}"
         )
-    arr = np.asarray(devices).reshape(dp_size, tp_size, cp_size)
-    return MeshSpec(mesh=Mesh(arr, (DATA_AXIS, MODEL_AXIS, CONTEXT_AXIS)))
+    arr = np.asarray(devices).reshape(dp_size, tp_size, cp_size, pp_size)
+    return MeshSpec(
+        mesh=Mesh(arr, (DATA_AXIS, MODEL_AXIS, CONTEXT_AXIS, PIPE_AXIS))
+    )

@@ -82,15 +82,30 @@ class MMBert(nn.Module):
                 dtype=self.dtype,
             )
         elif "transformer" in cfg.transformer_model:
-            self.encoder = BertEncoder(
-                hidden_size=cfg.hidden_size,
-                n_layers=cfg.n_layers,
-                n_heads=cfg.heads,
-                dropout_rate=_dp(cfg.hidden_dropout_prob),
-                share="none",
-                norm_pos="pre",  # mmbert.py:87
-                dtype=self.dtype,
-            )
+            if cfg.pp_size > 1:
+                # Pipeline-parallel layer stack (parallel/pipeline.py):
+                # same math, layer-stacked params over the 'pipe' mesh axis
+                from mmvqa_tpu.parallel.pipeline import PipelinedBertEncoder
+
+                self.encoder = PipelinedBertEncoder(
+                    hidden_size=cfg.hidden_size,
+                    n_layers=cfg.n_layers,
+                    n_heads=cfg.heads,
+                    dropout_rate=_dp(cfg.hidden_dropout_prob),
+                    norm_pos="pre",  # mmbert.py:87
+                    n_microbatches=cfg.pp_microbatches,
+                    dtype=self.dtype,
+                )
+            else:
+                self.encoder = BertEncoder(
+                    hidden_size=cfg.hidden_size,
+                    n_layers=cfg.n_layers,
+                    n_heads=cfg.heads,
+                    dropout_rate=_dp(cfg.hidden_dropout_prob),
+                    share="none",
+                    norm_pos="pre",  # mmbert.py:87
+                    dtype=self.dtype,
+                )
         else:
             raise NotImplementedError(cfg.transformer_model)
 

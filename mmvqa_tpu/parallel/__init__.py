@@ -1,7 +1,19 @@
+from mmvqa_tpu.parallel.pipeline import (
+    PipelinedBertEncoder,
+    stack_bert_encoder_params,
+    unstack_bert_encoder_params,
+)
 from mmvqa_tpu.parallel.sharding import (
     infer_param_shardings,
     place_batch,
     place_state,
 )
 
-__all__ = ["infer_param_shardings", "place_batch", "place_state"]
+__all__ = [
+    "PipelinedBertEncoder",
+    "infer_param_shardings",
+    "place_batch",
+    "place_state",
+    "stack_bert_encoder_params",
+    "unstack_bert_encoder_params",
+]

@@ -37,7 +37,7 @@ import jax
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from mmvqa_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, MeshSpec
+from mmvqa_tpu.core.mesh import DATA_AXIS, MODEL_AXIS, PIPE_AXIS, MeshSpec
 
 # Smallest leaf (elements) worth FSDP-sharding: below this the per-use
 # all-gather is latency-bound and the memory saved is noise. Tests lower
@@ -113,7 +113,16 @@ def infer_param_shardings(
     dp = mesh_spec.data_size
     mesh = mesh_spec.mesh
 
+    pp = mesh_spec.pipe_size
+
     def one(path, leaf):
+        names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        if pp > 1 and "pp_layers" in names \
+                and np.shape(leaf)[0] % pp == 0:
+            # Pipeline-stacked layer leaves (parallel/pipeline.py): leading
+            # layer axis over 'pipe' — each stage holds its own layers and
+            # the shard_map consumes them with zero resharding.
+            return NamedSharding(mesh, P(PIPE_AXIS))
         spec = _spec_for(path, leaf, tp)
         if fsdp and dp > 1 and np.size(leaf) >= FSDP_MIN_SIZE \
                 and np.ndim(leaf) >= 2:

@@ -107,7 +107,7 @@ ALLOWED_ADDITIVE = {
     "vocab_file", "dp_size", "tp_size", "cp_size", "fsdp", "cache_images",
     "image_cache_dir", "profile_dir", "debug_nans", "use_sim_mask",
     "cnn_checkpoint", "bert_checkpoint", "steps_per_call", "token_head",
-    "tiny_cnn", "attention_impl", "grad_accum",
+    "tiny_cnn", "attention_impl", "grad_accum", "pp_size", "pp_microbatches",
     # observability additions (wandb.watch equivalents)
     "watch", "watch_histograms",
     # smoke-run image size for pretrain (reference hard-codes 224 in its
