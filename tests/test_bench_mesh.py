@@ -49,7 +49,9 @@ def test_place_for_devices_shards_batch_replicates_state():
 
     state, batch, spec = bench.place_for_devices(state, batch)
     assert spec is not None and spec.mesh.size == 8
-    assert dict(spec.mesh.shape) == {"data": 8, "model": 1, "context": 1}
+    assert dict(spec.mesh.shape) == {
+        "data": 8, "model": 1, "context": 1, "pipe": 1,
+    }
     # batch sharded over 'data' on dim 0 -> per-device dim0 = B/8
     img_shard = batch["image"].addressable_shards[0].data
     assert img_shard.shape[0] == B // 8

@@ -57,7 +57,7 @@ def _batch(rng):
 
 def test_mesh_axes_and_degenerate_case():
     spec = make_mesh(dp_size=8, tp_size=1, cp_size=1)
-    assert spec.mesh.axis_names == ("data", "model", "context")
+    assert spec.mesh.axis_names == ("data", "model", "context", "pipe")
     assert spec.context_size == 1
     spec2 = make_mesh(dp_size=2, tp_size=2, cp_size=2)
     assert (spec2.data_size, spec2.model_size, spec2.context_size) == (2, 2, 2)
