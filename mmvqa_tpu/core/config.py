@@ -114,9 +114,10 @@ class Config:
     # ~1/dp per-device state memory, bit-identical math to pure DP.
     fsdp: bool = False
     # Pipeline parallelism (parallel/pipeline.py): with pp_size>1 the
-    # vanilla transformer's layer stack shards over the mesh 'pipe' axis
-    # and runs a GPipe microbatch schedule in shard_map (ppermute hops over
-    # ICI). Composes with DP; requires transformer_model='transformer',
+    # encoder's layer stack shards over the mesh 'pipe' axis and runs a
+    # GPipe microbatch schedule in shard_map (ppermute hops over ICI; the
+    # realformer's residual score carry rides the same hop). Composes with
+    # DP; requires transformer_model in ('transformer', 'realformer'),
     # tp_size==1, cp_size==1, n_layers % pp_size == 0.
     pp_size: int = 1
     # GPipe microbatches per data shard (0 = auto: 2*pp if it divides the
@@ -180,12 +181,14 @@ class Config:
         if self.grad_accum < 1:
             raise ValueError(f"--grad_accum must be >= 1, got {self.grad_accum}")
         if self.pp_size > 1:
-            if self.transformer_model != "transformer":
+            if self.transformer_model not in ("transformer", "realformer"):
                 raise ValueError(
                     "--pp_size > 1 supports transformer_model='transformer' "
-                    f"only (got {self.transformer_model!r}): the realformer "
-                    "score carry and the feedback memory are cross-layer "
-                    "state the GPipe schedule does not thread (v1)"
+                    f"or 'realformer' (got {self.transformer_model!r}): the "
+                    "feedback-transformer's rolling memory FIFO is consumed "
+                    "by every later token window (cross-layer AND "
+                    "cross-position state), which breaks GPipe's "
+                    "stage-local dataflow"
                 )
             if self.tp_size != 1 or self.cp_size != 1:
                 raise ValueError(
@@ -213,13 +216,20 @@ def pretrain_config(**kw: Any) -> Config:
         patience=5,
         epochs=10,
     )
-    return base.replace(**kw)
+    cfg = base.replace(**kw)
+    # Validate at construction, not just in cli.common.setup_runtime:
+    # programmatic users (tools/perf.py, dryruns, library use) would
+    # otherwise hit opaque tree/shard_map errors downstream of MMBert.
+    cfg.validate()
+    return cfg
 
 
 def supcon_config(**kw: Any) -> Config:
     """Defaults of pretrain/roco_supcon_train.py:25-74 (supcon=True by default)."""
     base = pretrain_config(supcon=True, con_task="supcon", similarity="jaccard")
-    return base.replace(**kw)
+    cfg = base.replace(**kw)
+    cfg.validate()  # see pretrain_config
+    return cfg
 
 
 def vqa_config(**kw: Any) -> Config:
@@ -241,4 +251,6 @@ def vqa_config(**kw: Any) -> Config:
         patience=10,
         epochs=100,
     )
-    return base.replace(**kw)
+    cfg = base.replace(**kw)
+    cfg.validate()  # see pretrain_config
+    return cfg

@@ -73,14 +73,32 @@ class MMBert(nn.Module):
                 dtype=self.dtype,
             )
         elif "realformer" in cfg.transformer_model:
-            self.encoder = RealFormerEncoder(
-                hidden_size=cfg.hidden_size,
-                n_layers=cfg.n_layers,
-                head_cnt=8,  # mmbert.py:100
-                dp1=_dp(0.1),
-                dp2=_dp(0.1),
-                dtype=self.dtype,
-            )
+            if cfg.pp_size > 1:
+                # Pipeline-parallel layer stack (parallel/pipeline.py):
+                # same math; the residual score carry hops stages with
+                # the activations
+                from mmvqa_tpu.parallel.pipeline import (
+                    PipelinedRealFormerEncoder,
+                )
+
+                self.encoder = PipelinedRealFormerEncoder(
+                    hidden_size=cfg.hidden_size,
+                    n_layers=cfg.n_layers,
+                    head_cnt=8,  # mmbert.py:100
+                    dp1=_dp(0.1),
+                    dp2=_dp(0.1),
+                    n_microbatches=cfg.pp_microbatches,
+                    dtype=self.dtype,
+                )
+            else:
+                self.encoder = RealFormerEncoder(
+                    hidden_size=cfg.hidden_size,
+                    n_layers=cfg.n_layers,
+                    head_cnt=8,  # mmbert.py:100
+                    dp1=_dp(0.1),
+                    dp2=_dp(0.1),
+                    dtype=self.dtype,
+                )
         elif "transformer" in cfg.transformer_model:
             if cfg.pp_size > 1:
                 # Pipeline-parallel layer stack (parallel/pipeline.py):

@@ -1,4 +1,4 @@
-"""GPipe-style pipeline parallelism for the vanilla BertEncoder.
+"""GPipe-style pipeline parallelism for the BertEncoder and RealFormer.
 
 No reference equivalent (SURVEY.md §2.9: the reference is single-device);
 this is the TPU-native scale-out path for deep encoder stacks: the layer
@@ -16,15 +16,32 @@ cross-batch coupling (attention/FFN/LayerNorm are per-sample), so
 microbatching is exact, not an approximation. Pinned sequential==pipelined
 (fwd + grads) in tests/test_pipeline_parallel.py.
 
-Composition rules (v1): pp composes with DP (each data shard runs its own
+Composition rules: pp composes with DP (each data shard runs its own
 lock-step pipeline; shard_map's transpose psums the stacked-layer grads
 over 'data'); tp_size and cp_size must be 1 (Config.validate enforces).
 
+Two encoders pipeline: the vanilla ``BertEncoder``
+(:class:`PipelinedBertEncoder`) and the flagship RealFormer
+(:class:`PipelinedRealFormerEncoder`). The RealFormer's residual score
+carry (reference models/realformer.py:30-45: each block hands its raw
+post-mask score tensor (B, T, T, 8) to the next block) flows strictly
+layer-to-layer, so it hops stages ALONGSIDE the activations — the
+ppermute payload grows by one attention-score map per microbatch
+(mb*T*T*8 floats ≈ 2.7x the hidden payload at T=75/H=768; well under an
+ICI hop). The first global layer's ``prev=None`` becomes an explicit
+zeros tensor so the tick payload is type-uniform — ``scores + 0`` is
+bit-identical to the no-add path. The feedback-transformer stays
+excluded: its rolling memory FIFO is consumed by EVERY later token
+window (cross-layer AND cross-position state), which breaks GPipe's
+stage-local dataflow.
+
 Dropout deviation (documented, same class as ring attention): with
-dropout active the pipelined path folds (tick, local layer) into the rng,
-so masks differ from the sequential path's stream. Parity tests run
-deterministically; training correctness is unaffected (independent
-Bernoulli draws either way).
+dropout active the pipelined path folds (data-shard, tick, local layer)
+into the rng — the data-axis fold keeps each data shard's masks
+independent, since the key enters shard_map replicated — so masks differ
+from the sequential path's stream. Parity tests run deterministically;
+training correctness is unaffected (independent Bernoulli draws either
+way).
 """
 
 from __future__ import annotations
@@ -240,6 +257,12 @@ class PipelinedBertEncoder(nn.Module):
 
         def gpipe(stacked_local, n1_, n2_, h_, m_, key_):
             s = lax.axis_index(PIPE_AXIS)
+            if use_rng:
+                # The key enters shard_map replicated (P()); without this
+                # fold every data shard would draw IDENTICAL dropout masks
+                # for different samples (unlike the pp=1/GSPMD path where
+                # the global-batch mask is per-sample independent).
+                key_ = jax.random.fold_in(key_, lax.axis_index(DATA_AXIS))
             b_local, T = h_.shape[0], h_.shape[1]
             mb = b_local // M
             h_mb = h_.reshape(M, mb, T, H)
@@ -303,3 +326,196 @@ class PipelinedBertEncoder(nn.Module):
             out_specs=P(DATA_AXIS),
             check_vma=False,
         )(stacked, n1, n2, h, mask, dummy_key)
+
+
+def stack_realformer_params(params: Dict[str, Any], n_layers: int):
+    """RealFormerEncoder param dict (``block_0..block_{L-1}``) -> stacked
+    tree with a leading layer axis (layer order preserved). Inverse:
+    :func:`unstack_realformer_params`. Use to transfer a sequential
+    checkpoint into the pipelined layout (``train.checkpoint`` calls this
+    automatically on layout mismatch)."""
+    per_layer = [params[f"block_{i}"] for i in range(n_layers)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *per_layer)
+
+
+def unstack_realformer_params(stacked) -> Dict[str, Any]:
+    """Inverse of :func:`stack_realformer_params` (checkpoint export)."""
+    n_layers = jax.tree.leaves(stacked)[0].shape[0]
+    return {
+        f"block_{i}": jax.tree.map(lambda x: x[i], stacked)
+        for i in range(n_layers)
+    }
+
+
+class PipelinedRealFormerEncoder(nn.Module):
+    """Drop-in RealFormerEncoder with a layer-stacked parameter layout.
+
+    Same GPipe schedule as :class:`PipelinedBertEncoder`, except the
+    stage-to-stage payload is the PAIR (hidden states, residual attention
+    scores): the reference RealFormer threads the raw post-mask score
+    tensor block-to-block (models/realformer.py:30-45, mmbert.py:105-107),
+    and that carry flows strictly layer-to-layer, so it rides the same
+    ppermute hop as the activations. The first global layer receives an
+    explicit zeros score tensor (``scores + 0`` == the reference's
+    ``prev=None`` no-add, bit-identical modulo -0.0 which softmax/add
+    cannot observe).
+
+    Param tree: ``pp_layers`` holds every per-block leaf (kqv, proj, ln1,
+    ff1, ff2, ln2) with a leading layer axis, P('pipe')-sharded by
+    parallel/sharding.py. Unlike the vanilla encoder there are no shared
+    norms — each RealFormer block owns its LayerNorms.
+    """
+
+    hidden_size: int
+    n_layers: int
+    head_cnt: int = 8  # mmbert.py:100 hard-codes 8 regardless of --heads
+    dp1: float = 0.1
+    dp2: float = 0.1
+    n_microbatches: int = 0  # 0 = auto (2*pp if it divides, else pp)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        h: jax.Array,
+        mask: Optional[jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
+        from mmvqa_tpu.models.realformer import ResEncoderBlock
+
+        H, L, Hc = self.hidden_size, self.n_layers, self.head_cnt
+        block = ResEncoderBlock(
+            emb_s=H // Hc, head_cnt=Hc, dp1=self.dp1, dp2=self.dp2,
+            dtype=self.dtype,
+        )
+
+        def init_stacked(key):
+            # block.init under vmap: param shapes depend only on H/emb_s,
+            # so a (1, 1, H) dummy gives the exact per-block tree layout
+            # (kqv/proj/ln1/ff1/ff2/ln2) that stack_realformer_params
+            # produces from a sequential checkpoint.
+            dummy = jnp.zeros((1, 1, H), jnp.float32)
+
+            def one(k):
+                return block.init(k, dummy, None, None, True)["params"]
+
+            return jax.vmap(one)(jax.random.split(key, L))
+
+        stacked = self.param(STACKED_KEY, init_stacked)
+
+        use_rng = not deterministic
+        base_key = self.make_rng("dropout") if use_rng else None
+
+        def apply_layer(lvars, x, prev, m, key):
+            rngs = {"dropout": key} if use_rng else None
+            return block.apply(
+                {"params": lvars}, x, prev, m, deterministic, rngs=rngs
+            )
+
+        from mmvqa_tpu.core import mesh as mesh_module
+
+        spec = mesh_module.CURRENT
+        pp = spec.pipe_size if spec is not None else 1
+
+        if pp <= 1:
+            # Sequential fallback == models/realformer.py::RealFormerEncoder
+            # (same one-block module, prev=None at the first layer)
+            prev = None
+            for i in range(L):
+                key = jax.random.fold_in(base_key, i) if use_rng else None
+                h, prev = apply_layer(
+                    _layer_vars_rf(stacked, i), h, prev, mask, key
+                )
+            return h
+
+        if L % pp != 0:
+            raise ValueError(f"n_layers {L} not divisible by pp={pp}")
+        dp = spec.data_size
+        B = h.shape[0]
+        if B % dp != 0:
+            raise ValueError(f"batch {B} not divisible by dp={dp}")
+        M = _pick_microbatches(self.n_microbatches, B // dp, pp)
+        local_L = L // pp
+        if mask is None:
+            mask = jnp.ones(h.shape[:2], jnp.float32)
+        dummy_key = base_key if use_rng else jax.random.PRNGKey(0)
+
+        def gpipe(stacked_local, h_, m_, key_):
+            s = lax.axis_index(PIPE_AXIS)
+            if use_rng:
+                # key enters shard_map replicated (P()); fold the data
+                # shard in so dp shards draw independent dropout masks
+                key_ = jax.random.fold_in(key_, lax.axis_index(DATA_AXIS))
+            b_local, T = h_.shape[0], h_.shape[1]
+            mb = b_local // M
+            h_mb = h_.reshape(M, mb, T, H)
+            m_mb = m_.reshape(M, mb, T)
+
+            def stage(x, prev, m, key):
+                for i in range(local_L):
+                    k = jax.random.fold_in(key, i) if use_rng else None
+                    x, prev = apply_layer(
+                        _layer_vars_rf(stacked_local, i), x, prev, m, k
+                    )
+                return x, prev
+
+            # scores layout (mb, T, T, Hc) per ops/attention.py:
+            # einsum('bihe,bjhe->bijh')
+            zero_x = jnp.zeros((mb, T, H), h_.dtype)
+            zero_p = jnp.zeros((mb, T, T, Hc), self.dtype)
+            out0 = jnp.zeros((M, mb, T, H), h_.dtype)
+
+            def tick(carry, t):
+                cur_x, cur_p, out = carry
+                fresh = lax.dynamic_index_in_dim(
+                    h_mb, jnp.clip(t, 0, M - 1), axis=0, keepdims=False
+                )
+                inp_x = jnp.where(s == 0, fresh, cur_x)
+                inp_p = jnp.where(s == 0, zero_p, cur_p)
+                mb_i = jnp.clip(t - s, 0, M - 1)
+                m = lax.dynamic_index_in_dim(m_mb, mb_i, 0, keepdims=False)
+                key = (
+                    jax.random.fold_in(jax.random.fold_in(key_, t), s)
+                    if use_rng else key_
+                )
+                y, p = stage(inp_x, inp_p, m, key)
+                out_i = jnp.clip(t - (pp - 1), 0, M - 1)
+                valid = jnp.logical_and(s == pp - 1, t >= pp - 1)
+                prev_out = lax.dynamic_index_in_dim(
+                    out, out_i, 0, keepdims=False
+                )
+                out = lax.dynamic_update_index_in_dim(
+                    out, jnp.where(valid, y, prev_out), out_i, 0
+                )
+                perm = [(i, (i + 1) % pp) for i in range(pp)]
+                nxt_x = lax.ppermute(y, PIPE_AXIS, perm)
+                nxt_p = lax.ppermute(
+                    p.astype(self.dtype), PIPE_AXIS, perm
+                )
+                return (nxt_x, nxt_p, out), None
+
+            (_, _, out), _ = lax.scan(
+                tick, (zero_x, zero_p, out0), jnp.arange(M + pp - 1)
+            )
+            out = lax.psum(
+                jnp.where(s == pp - 1, out, jnp.zeros_like(out)), PIPE_AXIS
+            )
+            return out.reshape(b_local, T, H)
+
+        return jax.shard_map(
+            gpipe,
+            mesh=spec.mesh,
+            in_specs=(
+                P(PIPE_AXIS),          # stacked blocks: leading layer axis
+                P(DATA_AXIS),          # activations: batch over data
+                P(DATA_AXIS),          # query mask
+                P(),                   # rng key
+            ),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(stacked, h, mask, dummy_key)
+
+
+def _layer_vars_rf(stacked: Dict[str, Any], i) -> Dict[str, Any]:
+    """Layer ``i``'s ResEncoderBlock param dict from the stacked tree."""
+    return jax.tree.map(lambda x: x[i], stacked)
