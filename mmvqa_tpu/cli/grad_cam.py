@@ -108,6 +108,7 @@ def main(argv: Optional[list] = None) -> None:
         jax.random.PRNGKey(cfg.seed), img, ids, seg, mask
     )
     loaded = checkpoint.load_weights(args.model_dir)
+    loaded = checkpoint.adapt_encoder_layout(variables, loaded)
     checkpoint.check_compatible(
         variables,
         {"params": loaded["params"], "batch_stats": loaded["batch_stats"]},

@@ -132,6 +132,10 @@ def main(argv: Optional[list] = None) -> None:
         print("Resuming training")
         if cfg.no_recorder:
             loaded = checkpoint.load_weights(cfg.resume_dir)
+            loaded = checkpoint.adapt_encoder_layout(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                loaded,
+            )
             checkpoint.check_compatible(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 {"params": loaded["params"],

@@ -88,6 +88,10 @@ def main(argv: Optional[list] = None) -> None:
     for path in model_paths:
         print("Loading model at ", path)
         loaded = checkpoint.load_weights(path)
+        loaded = checkpoint.adapt_encoder_layout(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            loaded,
+        )
         checkpoint.check_compatible(
             {"params": state.params, "batch_stats": state.batch_stats},
             {"params": loaded["params"], "batch_stats": loaded["batch_stats"]},

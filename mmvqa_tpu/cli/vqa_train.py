@@ -83,9 +83,9 @@ def main(argv: Optional[list] = None) -> None:
         print("loading model from roco")
         print(cfg.model_dir)
         loaded = checkpoint.load_weights(cfg.model_dir)
-        merged, n_ok, n_all = checkpoint.filtered_restore(
-            {"params": state.params, "batch_stats": state.batch_stats}, loaded
-        )
+        target = {"params": state.params, "batch_stats": state.batch_stats}
+        loaded = checkpoint.adapt_encoder_layout(target, loaded)
+        merged, n_ok, n_all = checkpoint.filtered_restore(target, loaded)
         print(f"[mmvqa] transferred {n_ok}/{n_all} tensors "
               "(classifier head re-initialized)")
         state = state.replace(
@@ -94,6 +94,10 @@ def main(argv: Optional[list] = None) -> None:
     elif cfg.resume_training:
         print("resume training", cfg.resume_dir)
         loaded = checkpoint.load_weights(cfg.resume_dir)
+        loaded = checkpoint.adapt_encoder_layout(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            loaded,
+        )
         checkpoint.check_compatible(
             {"params": state.params, "batch_stats": state.batch_stats},
             {"params": loaded["params"], "batch_stats": loaded["batch_stats"]},

@@ -69,7 +69,18 @@ def restore_recorder(save_dir: str, state) -> Tuple[Any, Dict, int]:
         "step": state.step,
         "scheduler": ReduceLROnPlateau(lr=0.0).state_dict(),
     }
-    tree = restore_pytree(os.path.join(save_dir, "recorder_2"), like)
+    try:
+        tree = restore_pytree(os.path.join(save_dir, "recorder_2"), like)
+    except Exception as e:  # noqa: BLE001 — re-raise with a layout hint
+        raise RuntimeError(
+            f"{e}\n[mmvqa] recorder restore failed. If --pp_size differs "
+            "from the value the recorder was saved with, the encoder param "
+            "layout (stacked 'pp_layers' vs per-layer modules) and the "
+            "mirrored Adam moments no longer match: resume with the "
+            "original --pp_size, or convert a weights-only checkpoint via "
+            "train.checkpoint.adapt_encoder_layout (stack/unstack "
+            "converters in parallel/pipeline.py)."
+        ) from e
     state = state.replace(
         params=tree["params"],
         batch_stats=tree["batch_stats"],
@@ -87,6 +98,73 @@ def save_weights(path: str, state) -> None:
 
 def load_weights(path: str) -> Dict:
     return restore_pytree(path)
+
+
+def _convert_encoder(enc_target: Dict, enc_loaded: Dict) -> Tuple[Dict, bool]:
+    """Convert an encoder param subtree between the sequential and the
+    pipeline-stacked layouts to match ``enc_target``. Returns
+    (converted_subtree, changed)."""
+    from mmvqa_tpu.parallel import pipeline as pl
+
+    t_stacked = "pp_layers" in enc_target
+    l_stacked = "pp_layers" in enc_loaded
+    if t_stacked == l_stacked:
+        return enc_loaded, False
+    if t_stacked:
+        # sequential checkpoint -> pipeline-stacked model
+        if "block_0" in enc_loaded:  # RealFormer
+            n = sum(1 for k in enc_loaded if str(k).startswith("block_"))
+            return {
+                "pp_layers": pl.stack_realformer_params(enc_loaded, n)
+            }, True
+        if "attention_0" in enc_loaded:  # vanilla BertEncoder
+            n = sum(
+                1 for k in enc_loaded if str(k).startswith("attention_")
+            )
+            stacked, n1, n2 = pl.stack_bert_encoder_params(enc_loaded, n)
+            out = {"pp_layers": stacked, "norm1": n1}
+            if n2 is not None:
+                out["norm2"] = n2
+            return out, True
+        return enc_loaded, False
+    # pipeline-stacked checkpoint -> sequential model
+    st = enc_loaded["pp_layers"]
+    if "kqv" in st:  # RealFormer
+        return pl.unstack_realformer_params(st), True
+    if "attention_0" in st:  # vanilla BertEncoder
+        return pl.unstack_bert_encoder_params(
+            st, enc_loaded["norm1"], enc_loaded.get("norm2")
+        ), True
+    return enc_loaded, False
+
+
+def adapt_encoder_layout(model_vars: Dict, loaded: Dict) -> Dict:
+    """Auto-convert a weights checkpoint between the sequential and the
+    pipeline-stacked encoder layouts (parallel/pipeline.py).
+
+    ``--pp_size > 1`` swaps the encoder's param tree to a stacked
+    ``pp_layers`` layout; a checkpoint saved at a different pp_size would
+    otherwise fail restore with a raw pytree mismatch. The conversion is
+    exact (stack/unstack round-trips bit-for-bit,
+    tests/test_pipeline_parallel.py). No-op when the layouts already
+    agree. Both arguments are ``{'params': ..., 'batch_stats': ...}``
+    variable dicts (or bare params dicts)."""
+    tp = model_vars.get("params", model_vars)
+    lp = loaded.get("params", loaded)
+    enc_t = tp.get("encoder") if isinstance(tp, dict) else None
+    enc_l = lp.get("encoder") if isinstance(lp, dict) else None
+    if not isinstance(enc_t, dict) or not isinstance(enc_l, dict):
+        return loaded
+    enc_new, changed = _convert_encoder(enc_t, enc_l)
+    if not changed:
+        return loaded
+    lp = dict(lp)
+    lp["encoder"] = enc_new
+    if "params" in loaded:
+        out = dict(loaded)
+        out["params"] = lp
+        return out
+    return lp
 
 
 def filtered_restore(model_vars: Dict, loaded: Dict) -> Tuple[Dict, int, int]:
