@@ -24,9 +24,11 @@ at use, or — when activations are smaller than the weight, as in the tiny
 audit model — channel-parallel compute with activation reshards); either
 way per-device state memory drops ~1/dp and the math matches pure DP
 exactly (tests/test_fsdp.py + the dryrun artifact; the communication
-budget is pinned by tests/test_sharding_audit.py). Leaves below the
-threshold stay replicated — gathering a tiny bias costs a latency-bound
-collective and saves nothing.
+budget AND the absence of GSPMD involuntary-remat fallbacks are pinned by
+tests/test_sharding_audit.py). Leaves below the threshold stay
+replicated — gathering a tiny bias costs a latency-bound collective and
+saves nothing. Embedding tables shard on their ROW dim only (see the
+inline comment in ``infer_param_shardings``).
 """
 
 from __future__ import annotations
@@ -117,7 +119,7 @@ def infer_param_shardings(
 
     def one(path, leaf):
         names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
-        if pp > 1 and "pp_layers" in names \
+        if pp > 1 and "pp_layers" in names and np.ndim(leaf) >= 1 \
                 and np.shape(leaf)[0] % pp == 0:
             # Pipeline-stacked layer leaves (parallel/pipeline.py): leading
             # layer axis over 'pipe' — each stage holds its own layers and
@@ -126,7 +128,24 @@ def infer_param_shardings(
         spec = _spec_for(path, leaf, tp)
         if fsdp and dp > 1 and np.size(leaf) >= FSDP_MIN_SIZE \
                 and np.ndim(leaf) >= 2:
-            spec = _with_fsdp(spec, np.shape(leaf), dp)
+            if names[-1] == "embedding":
+                # Embedding tables FSDP-shard on the ROW (vocab/position)
+                # dim ONLY: putting 'data' on the hidden dim makes every
+                # lookup output hidden-sharded over 'data', which GSPMD
+                # must transpose-reshard against the (data, context)
+                # activation layout — on a 3-axis mesh it gives up and
+                # fully rematerializes the tensor per step ("[SPMD]
+                # Involuntary full rematerialization", measured round 5:
+                # FSDP x TP x CP was the only composition that tripped it,
+                # 3/3 fallbacks on this chain; tools/sharding_audit.py
+                # captures the diagnostics, tests pin zero fallbacks).
+                # When TP already owns the row dim, the table stays 1/tp
+                # and skips FSDP — a 2x memory concession on ONE tensor
+                # family, never a per-step remat.
+                if tuple(spec) == () and np.shape(leaf)[0] % dp == 0:
+                    spec = P(DATA_AXIS)
+            else:
+                spec = _with_fsdp(spec, np.shape(leaf), dp)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(one, params)

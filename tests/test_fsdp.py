@@ -121,12 +121,29 @@ def test_fsdp_train_step_matches_unsharded(monkeypatch):
     state1 = place_state(create_train_state(init2, cfg.lr), spec, fsdp=True)
 
     # per-device memory contract: every big 2-D+ param leaf and its Adam
-    # moments hold exactly 1/8 of the elements per device
-    n_sharded = 0
-    for leaf in jax.tree.leaves(state1.params):
+    # moments hold exactly 1/8 of the elements per device. Embedding
+    # tables are ROW-dim-only (round-5 rule: a hidden-dim 'data' shard
+    # makes every lookup output hidden-sharded and GSPMD full-remats it
+    # against the (data, context) activation layout on 3-axis meshes) —
+    # they shard iff their row dim divides.
+    def expected_shard(leaf, path_names):
+        is_emb = path_names[-1] == "embedding"
+        if is_emb:
+            return (leaf.size // 8 if leaf.shape[0] % 8 == 0
+                    else leaf.size)
         if leaf.ndim >= 2 and any(d % 8 == 0 for d in leaf.shape):
-            shard = np.prod(leaf.sharding.shard_shape(leaf.shape))
-            assert shard == leaf.size // 8, (leaf.shape, leaf.sharding)
+            return leaf.size // 8
+        return None  # unconstrained here
+
+    n_sharded = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state1.params)[0]:
+        names = [getattr(k, "key", str(k)) for k in path]
+        want = expected_shard(leaf, names)
+        if want is None:
+            continue
+        shard = np.prod(leaf.sharding.shard_shape(leaf.shape))
+        assert shard == want, (names, leaf.shape, leaf.sharding)
+        if want < leaf.size:
             n_sharded += 1
     assert n_sharded >= 10  # the rule actually fired across the tree
     adam_states = [
@@ -135,10 +152,14 @@ def test_fsdp_train_step_matches_unsharded(monkeypatch):
         if hasattr(s, "mu")
     ]
     assert adam_states, "no ScaleByAdamState found in opt_state"
-    for leaf in jax.tree.leaves(adam_states[0].mu):
-        if leaf.ndim >= 2 and any(d % 8 == 0 for d in leaf.shape):
-            shard = np.prod(leaf.sharding.shard_shape(leaf.shape))
-            assert shard == leaf.size // 8, (leaf.shape, leaf.sharding)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            adam_states[0].mu)[0]:
+        names = [getattr(k, "key", str(k)) for k in path]
+        want = expected_shard(leaf, names)
+        if want is None:
+            continue
+        shard = np.prod(leaf.sharding.shard_shape(leaf.shape))
+        assert shard == want, (names, leaf.shape, leaf.sharding)
 
     # math contract: FSDP loss == unsharded single-device loss
     state0 = create_train_state(init, cfg.lr)
@@ -154,6 +175,83 @@ def test_fsdp_train_step_matches_unsharded(monkeypatch):
     assert np.isfinite(float(m2["loss"]))
     big = max(jax.tree.leaves(state1.params), key=lambda x: x.size)
     assert np.prod(big.sharding.shard_shape(big.shape)) == big.size // 8
+
+
+def test_fsdp_memory_drops_at_production_threshold():
+    """The memory claim, made load-bearing (VERDICT r4 item 5): at the
+    REAL ``FSDP_MIN_SIZE`` (2^15 — no monkeypatch) and a model whose big
+    leaves all clear it (hidden=256, vocab=512: embedding 131k, ff1/ff2
+    262k, proj/fc1 65k elements), per-device param+optimizer bytes under
+    ``--fsdp`` at dp=2 must be <= 0.6x the pure-DP placement, and the
+    COMPILED per-device argument bytes (``compiled.memory_analysis()``,
+    the test_scaling_memory.py pattern) must drop accordingly. Temp bytes
+    are NOT asserted: GSPMD re-gathers weights at use, so temps may grow —
+    the feature trades transient gather buffers for resident state."""
+    cfg = pretrain_config(
+        cnn_encoder="tf_efficientnetv2_m",
+        transformer_model="realformer",
+        tiny_cnn=True,
+        hidden_size=256,
+        n_layers=2,
+        vocab_size=512,
+        max_position_embeddings=T,
+        image_size=S,
+        batch_size=B,
+        dropout_override=0.0,
+        donate=False,  # keep both compilations' buffers alive
+    )
+    from mmvqa_tpu.models import MMBert
+
+    model = MMBert(cfg)
+    rng = np.random.default_rng(4)
+    b = _batch(rng)
+    b["tokens"] = rng.integers(0, 512, (B, T)).astype(np.int32)
+    b["labels"] = (rng.integers(1, 512, (B, T))
+                   * (rng.random((B, T)) < 0.3)).astype(np.int32)
+    init = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((B, S, S, 3), jnp.float32),
+        jnp.asarray(b["tokens"]), jnp.asarray(b["segment_ids"]),
+        jnp.asarray(b["input_mask"]),
+    )
+    # sanity: the dominant leaves really clear the production threshold
+    big_elems = sum(x.size for x in jax.tree.leaves(init["params"])
+                    if x.size >= sharding.FSDP_MIN_SIZE)
+    all_elems = sum(x.size for x in jax.tree.leaves(init["params"]))
+    assert big_elems / all_elems > 0.8, (big_elems, all_elems)
+
+    _, _, train_raw, _ = make_mlm_steps(model, cfg, raw=True)
+    spec = make_mesh(dp_size=2, tp_size=1, cp_size=1,
+                     devices=jax.devices()[:2])
+
+    def per_device_state_bytes(state):
+        return sum(
+            int(np.prod(x.sharding.shard_shape(x.shape))) * x.dtype.itemsize
+            for x in jax.tree.leaves((state.params, state.opt_state))
+        )
+
+    def compile_args(fsdp):
+        state = place_state(
+            create_train_state(jax.tree.map(jnp.copy, init), cfg.lr),
+            spec, fsdp=fsdp,
+        )
+        compiled = (
+            jax.jit(train_raw)
+            .lower(state, place_batch(b, spec), jax.random.PRNGKey(1))
+            .compile()
+        )
+        return per_device_state_bytes(state), \
+            compiled.memory_analysis().argument_size_in_bytes
+
+    state_dp, args_dp = compile_args(fsdp=False)
+    state_f, args_f = compile_args(fsdp=True)
+    # params + Adam moments: >80% of bytes shard 1/2 -> ratio <= 0.6
+    assert state_f <= 0.6 * state_dp, (state_f, state_dp)
+    # what XLA actually takes as per-device arguments drops with it
+    # (arguments = state + batch + rng; batch/rng are sharding-invariant)
+    assert args_f < args_dp, (args_f, args_dp)
+    assert (args_f - (args_dp - state_dp)) <= 0.6 * state_dp + 1024, (
+        args_f, args_dp, state_dp)
 
 
 def test_fsdp_composes_with_tp_and_grad_accum(monkeypatch):
@@ -198,7 +296,14 @@ def test_fsdp_composes_with_tp_and_grad_accum(monkeypatch):
     ]
     assert acc, "no MultiSteps state found in opt_state"
     checked = 0
-    for leaf in jax.tree.leaves(acc[0].acc_grads):
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            acc[0].acc_grads)[0]:
+        names = [getattr(k, "key", str(k)) for k in path]
+        if names[-1] == "embedding":
+            # row-dim-only FSDP rule: with TP on the vocab dim the table
+            # stays 1/tp (a per-step remat would cost more than the 2x
+            # state memory it saves — see parallel/sharding.py)
+            continue
         if leaf.ndim >= 2 and any(d % 4 == 0 for d in leaf.shape):
             shard = np.prod(leaf.sharding.shard_shape(leaf.shape))
             assert shard <= leaf.size // 4, (leaf.shape, leaf.sharding)

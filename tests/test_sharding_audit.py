@@ -23,8 +23,8 @@ from sharding_audit import audit_hlo, lower_train_step  # noqa: E402
 
 
 def _audit(dp, tp, cp):
-    txt, param_bytes = lower_train_step(dp, tp, cp)
-    return audit_hlo(txt), param_bytes
+    txt, param_bytes, diag = lower_train_step(dp, tp, cp)
+    return audit_hlo(txt), param_bytes, diag
 
 
 def test_pure_dp_is_allreduce_only_and_grad_sized():
@@ -33,19 +33,21 @@ def test_pure_dp_is_allreduce_only_and_grad_sized():
     tree (param bytes): a per-step parameter broadcast or optimizer
     resharding would blow the byte budget; a lost gradient sync would
     collapse it."""
-    report, param_bytes = _audit(8, 1, 1)
+    report, param_bytes, diag = _audit(8, 1, 1)
     assert set(report) == {"all-reduce"}, report
     ar = report["all-reduce"]["bytes"]
     assert 0.9 * param_bytes <= ar <= 1.15 * param_bytes, (
         f"all-reduce payload {ar} vs param bytes {param_bytes}"
     )
+    assert diag["spmd_fallbacks"] == [], diag["spmd_fallbacks"]
 
 
 def test_tp_adds_bounded_small_gathers_no_all_to_all():
     """Megatron-style TP adds row-parallel/vocab-parallel partial-sum
     all-reduces and a few ACTIVATION-sized all-gathers; parameter-sized
     gathers or all-to-alls mean the TP rules regressed."""
-    report, param_bytes = _audit(4, 2, 1)
+    report, param_bytes, diag = _audit(4, 2, 1)
+    assert diag["spmd_fallbacks"] == [], diag["spmd_fallbacks"]
     assert "all-to-all" not in report, report
     assert report["all-reduce"]["count"] >= 28  # >= the pure-DP reductions
     ag = report.get("all-gather", {"bytes": 0})["bytes"]
@@ -65,24 +67,44 @@ def test_fsdp_gathers_bounded_and_cheaper_than_dp():
     the smaller activations instead of gathering). Pin the invariants,
     not the exact op counts: gathers exist, no single collective exceeds
     param scale, and the total payload beats the pure-DP fingerprint."""
-    txt, param_bytes = lower_train_step(8, 1, 1, fsdp=True)
+    txt, param_bytes, diag = lower_train_step(8, 1, 1, fsdp=True)
+    assert diag["spmd_fallbacks"] == [], diag["spmd_fallbacks"]
     report = audit_hlo(txt)
     assert report.get("all-gather", {"count": 0})["count"] > 0, report
     total = sum(rec["bytes"] for rec in report.values())
     for op, rec in report.items():
         assert rec["bytes"] <= 1.1 * param_bytes, (op, rec, param_bytes)
-    dp_report, _ = _audit(8, 1, 1)
+    dp_report, _, _ = _audit(8, 1, 1)
     dp_total = sum(rec["bytes"] for rec in dp_report.values())
     assert total <= dp_total, (
         f"FSDP collective payload {total} exceeds pure DP's {dp_total}"
     )
 
 
+def test_fsdp_tp_cp_triple_has_no_spmd_fallbacks():
+    """FSDP x TP x CP (2x2x2) was the ONE composition that tripped GSPMD
+    'Involuntary full rematerialization' fallbacks (round-4 MULTICHIP
+    artifact; VERDICT r4 item 3): FSDP put 'data' on the embedding
+    table's hidden dim, every lookup output came out hidden-sharded, and
+    SPMD full-remat'd it against the (data, context) activation layout —
+    silent interconnect burn on every step on real hardware. The round-5
+    row-dim-only embedding rule (parallel/sharding.py) gives SPMD a legal
+    path; this pins zero fallbacks on the exact trigger composition (all
+    other compositions are pinned clean by the tests above)."""
+    txt, param_bytes, diag = lower_train_step(2, 2, 2, fsdp=True)
+    assert diag["spmd_fallbacks"] == [], diag["spmd_fallbacks"]
+    report = audit_hlo(txt)
+    # and no collective grew to parameter scale in the process
+    for op, rec in report.items():
+        assert rec["bytes"] <= 1.1 * param_bytes, (op, rec, param_bytes)
+
+
 def test_cp_reshards_activations_not_parameters():
     """On the full 2x2x2 mesh the token axis reshards around attention
     (permutes / all-to-alls are GSPMD's pattern for the 'context' axis) —
     every non-all-reduce collective must stay activation-sized."""
-    report, param_bytes = _audit(2, 2, 2)
+    report, param_bytes, diag = _audit(2, 2, 2)
+    assert diag["spmd_fallbacks"] == [], diag["spmd_fallbacks"]
     for op, rec in report.items():
         if op == "all-reduce":
             continue

@@ -33,10 +33,12 @@ an initialized TPU backend).
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 import re
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -75,6 +77,53 @@ def audit_hlo(hlo_text: str) -> dict:
         rec["count"] += 1
         rec["bytes"] += _shape_bytes(shape)
     return out
+
+
+@contextlib.contextmanager
+def capture_compile_diagnostics(sink: dict):
+    """Capture GSPMD partitioner diagnostics emitted during a compile.
+
+    XLA's SPMD fallback warnings ("[SPMD] Involuntary full
+    rematerialization ... SPMD will replicate the tensor") are written by
+    C++ abseil logging straight to FD 2 — invisible to sys.stderr hooks —
+    so this redirects the file descriptor around the compile and parses
+    the text back out. ``sink`` gains:
+
+    * ``spmd_fallbacks``: one record per involuntary-remat warning with
+      the offending HLO op and (when present) the jax op_name;
+    * ``stderr``: the full captured text (for anything new).
+
+    The round-4 MULTICHIP artifact showed two such fallbacks that nothing
+    audited (VERDICT r4 item 3); this makes them a pinned, testable
+    quantity.
+    """
+    saved = os.dup(2)
+    tmp = tempfile.TemporaryFile(mode="w+b")
+    os.dup2(tmp.fileno(), 2)
+    try:
+        yield sink
+    finally:
+        sys.stderr.flush()
+        os.dup2(saved, 2)
+        os.close(saved)
+        tmp.seek(0)
+        text = tmp.read().decode(errors="replace")
+        tmp.close()
+    sink["stderr"] = text
+    fallbacks = []
+    for chunk in re.finditer(
+        r"Involuntary full rematerialization.*?(?=\n[WIEF]\d{4}|\Z)",
+        text, re.S,
+    ):
+        body = chunk.group(0)
+        op = re.search(r"HLO operation %(\S+) =", body) or re.search(
+            r"HLO operation %(\S+)", body)
+        opname = re.search(r'op_name="([^"]*)"', body)
+        fallbacks.append({
+            "hlo_op": op.group(1).rstrip(",") if op else "?",
+            "op_name": opname.group(1) if opname else "",
+        })
+    sink["spmd_fallbacks"] = fallbacks
 
 
 def lower_train_step(
@@ -135,15 +184,17 @@ def lower_train_step(
         )
         placed = place_batch(batch, spec)
         train_step, _ = make_mlm_steps(model, cfg)  # already jitted
-        txt = (
-            train_step.lower(state, placed, jax.random.PRNGKey(1))
-            .compile()
-            .as_text()
-        )
+        diag = {}
+        with capture_compile_diagnostics(diag):
+            txt = (
+                train_step.lower(state, placed, jax.random.PRNGKey(1))
+                .compile()
+                .as_text()
+            )
     finally:
         mesh_module.set_current(old)
         sharding_module.FSDP_MIN_SIZE = old_min
-    return txt, param_bytes
+    return txt, param_bytes, diag
 
 
 def main(argv=None) -> None:
@@ -166,7 +217,7 @@ def main(argv=None) -> None:
     p.add_argument("--fsdp", action="store_true", default=False)
     args = p.parse_args(argv)
 
-    txt, param_bytes = lower_train_step(
+    txt, param_bytes, diag = lower_train_step(
         args.dp, args.tp, args.cp, fsdp=args.fsdp
     )
     report = audit_hlo(txt)
@@ -175,6 +226,7 @@ def main(argv=None) -> None:
         "fsdp": args.fsdp,
         "param_bytes": param_bytes,
         "collectives": report,
+        "spmd_fallbacks": diag.get("spmd_fallbacks", []),
     }))
 
 
