@@ -173,6 +173,76 @@ def test_parity_run_verify_import_wiring(fixture_tree, tmp_path):
     assert report[0]["ok"]
 
 
+_COVERED_ELSEWHERE = {
+    # row 7: test_full_pipeline_row_smoke (incl. Grad-CAM stage)
+    "effv2m-realformer-serf-asl-supcon-jaccard",
+    # row 1: test_mlm_ce_row_smoke
+    "resnet152-transformer-relu-ce-mlm",
+}
+
+
+def _fake_sbert(monkeypatch):
+    """The sentence_transformers package/checkpoint is absent offline
+    (SimilarityCalculator raises a clear RuntimeError); substitute the
+    deterministic fake of test_similarity_backends so the sbert ROWS'
+    config wiring still dry-runs end to end."""
+    import hashlib
+    import types
+
+    import numpy as np
+
+    class _FakeST:
+        def __init__(self, name):
+            assert name == "all-mpnet-base-v2"  # reference model id
+
+        def encode(self, texts):
+            def vec(t):
+                h = hashlib.sha256(t.encode()).digest()
+                return (np.frombuffer(h[:24], np.uint8).astype(np.float32)
+                        / 255.0 + 0.01)
+
+            return np.stack([vec(t) for t in texts])
+
+    fake_pkg = types.ModuleType("sentence_transformers")
+    fake_pkg.SentenceTransformer = _FakeST
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake_pkg)
+
+
+def _remaining_row_tags():
+    import parity_run
+
+    return [r["tag"] for r in parity_run.ROWS
+            if r["tag"] not in _COVERED_ELSEWHERE]
+
+
+@pytest.mark.parametrize("tag", _remaining_row_tags())
+def test_every_readme_row_smokes(fixture_tree, tmp_path, monkeypatch, tag):
+    """EVERY row of the reference README table (README.md:78-87) dry-runs
+    pretrain -> use_pretrained fine-tune -> eval -> table-assembly at
+    fixture scale (VERDICT r4 item 6): the day real data lands, no row's
+    config wiring executes for the first time. Two rows are exercised by
+    the dedicated tests above; the remaining eight run here (CAM skipped —
+    covered by the jaccard row's test)."""
+    import parity_run
+
+    _fake_sbert(monkeypatch)
+    save = str(tmp_path / "parity_out")
+    parity_run.main([
+        "--roco_dir", os.path.join(fixture_tree, "roco"),
+        "--vqa_dir", os.path.join(fixture_tree, "vqa"),
+        "--save_dir", save,
+        "--rows", tag,
+        "--smoke", "--no_grad_cam",
+    ])
+    text = open(os.path.join(save, "PARITY_RESULTS.md")).read()
+    row = [ln for ln in text.splitlines() if tag in ln]
+    assert row and "nan" not in row[0].lower()
+    tagdir = os.path.join(save, tag)
+    assert os.path.isdir(os.path.join(tagdir, "MLM", "pre"))
+    assert os.path.isdir(os.path.join(tagdir, "MLM", "ft"))
+    assert os.path.exists(os.path.join(tagdir, "ft_res.txt"))
+
+
 def test_mlm_ce_row_smoke(fixture_tree, tmp_path):
     """Row 1 (resnet152 + vanilla transformer + ReLU + CE + plain-MLM
     pretrain) covers every driver/config family the supcon row does NOT:
