@@ -86,16 +86,18 @@ def _spec_for(path: tuple, leaf: Any, tp: int) -> P:
     return P()
 
 
-def _with_fsdp(spec: P, shape: tuple, dp: int) -> P:
+def _with_fsdp(spec: P, shape: tuple, dp: int, dims=None) -> P:
     """Add the 'data' axis to ``spec`` on the largest still-unsharded dim
     divisible by ``dp`` (ZeRO-style weight sharding). Composes with TP:
     a kernel already column-parallel over 'model' gets its OTHER dim
     sharded over 'data' (standard 2-D FSDP+TP layout). Leaves with no
     divisible free dim stay as-is (replicated over 'data') — graceful,
-    never an error."""
+    never an error. ``dims`` restricts the candidate dims (conv kernels:
+    out-channel only, see ``infer_param_shardings``)."""
     entries = list(spec) + [None] * (len(shape) - len(spec))
+    candidates = range(len(shape)) if dims is None else dims
     free = [
-        d for d in range(len(shape))
+        d for d in candidates
         if entries[d] is None and shape[d] % dp == 0
     ]
     if not free:
@@ -144,6 +146,28 @@ def infer_param_shardings(
                 # family, never a per-step remat.
                 if tuple(spec) == () and np.shape(leaf)[0] % dp == 0:
                     spec = P(DATA_AXIS)
+            elif names[-1] == "kernel" and np.ndim(leaf) >= 3 \
+                    and len(names) >= 2 \
+                    and str(names[-2]).startswith("token_conv"):
+                # Token-head conv kernels (1, 1, K_in, hidden) FSDP-shard
+                # the OUT-channel dim ONLY — the same fallback chain as
+                # the embedding hidden dim, second site (measured round
+                # 5, FSDP x TP x CP with the flagship RealFormer config):
+                # these convs produce the visual tokens that join the
+                # (data, context)-constrained fused sequence, and 'data'
+                # on their IN-channel dim (the largest free dim) makes
+                # GSPMD full-remat the gathered weight against that
+                # layout ("[SPMD] Involuntary full rematerialization" on
+                # token_conv_2/conv_general_dilated). Out-channel
+                # sharding is column-parallel-shaped, which GSPMD
+                # reshards legally. Trunk conv kernels (whose activations
+                # never touch 'context') keep the largest-free-dim rule —
+                # measured clean on every audited composition, and e.g.
+                # SE-reduce kernels (1, 1, C, C/r) can ONLY shard their
+                # in-channel dim at dp=8.
+                spec = _with_fsdp(
+                    spec, np.shape(leaf), dp, dims=(np.ndim(leaf) - 1,)
+                )
             else:
                 spec = _with_fsdp(spec, np.shape(leaf), dp)
         return NamedSharding(mesh, spec)

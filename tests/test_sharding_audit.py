@@ -99,6 +99,23 @@ def test_fsdp_tp_cp_triple_has_no_spmd_fallbacks():
         assert rec["bytes"] <= 1.1 * param_bytes, (op, rec, param_bytes)
 
 
+def test_flagship_fsdp_tp_cp_has_no_spmd_fallbacks():
+    """Second fallback site, found round 5 in the dryrun artifact tail: the
+    RealFormer flagship config (T=24/S=64/vocab=512 — the vanilla audit
+    shapes never trip it) under FSDP x TP x CP put 'data' on token_conv
+    kernels' IN-channel dim (the largest free dim), and GSPMD full-remat'd
+    the gathered weight against the (data, context) activation layout
+    inside conv_general_dilated. parallel/sharding.py now FSDP-shards conv
+    kernels on the OUT-channel dim only (column-parallel-shaped, legal
+    reshard); this pins zero fallbacks on the exact trigger composition."""
+    txt, param_bytes, diag = lower_train_step(2, 2, 2, fsdp=True,
+                                              flagship=True)
+    assert diag["spmd_fallbacks"] == [], diag["spmd_fallbacks"]
+    report = audit_hlo(txt)
+    for op, rec in report.items():
+        assert rec["bytes"] <= 1.1 * param_bytes, (op, rec, param_bytes)
+
+
 def test_cp_reshards_activations_not_parameters():
     """On the full 2x2x2 mesh the token axis reshards around attention
     (permutes / all-to-alls are GSPMD's pattern for the 'context' axis) —

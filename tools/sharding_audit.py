@@ -127,14 +127,18 @@ def capture_compile_diagnostics(sink: dict):
 
 
 def lower_train_step(
-    dp: int, tp: int, cp: int, vocab: int = 128, fsdp: bool = False
+    dp: int, tp: int, cp: int, vocab: int = 128, fsdp: bool = False,
+    flagship: bool = False,
 ):
     """Compiled HLO text of the full (tiny-CNN) MLM train step on a
     dp x tp x cp mesh, plus the fp32 parameter byte count. ``fsdp``
     additionally ZeRO-shards params/moments over 'data' (threshold
     dropped to 0 so the tiny audit model exercises the layout — the
     fingerprint under test is the communication pattern, not the
-    real-scale threshold)."""
+    real-scale threshold). ``flagship`` switches to the RealFormer
+    encoder at the dryrun_multichip shapes (T=24, S=64, vocab=512) — the
+    composition that exposed the round-5 conv-kernel FSDP fallback (the
+    vanilla-transformer audit shapes never trip it)."""
     import numpy as np
 
     import jax
@@ -148,12 +152,22 @@ def lower_train_step(
     from mmvqa_tpu.parallel.sharding import place_batch, place_state
     from mmvqa_tpu.train import create_train_state, make_mlm_steps
 
-    B, T, S = 8, 16, 32
-    cfg = pretrain_config(
-        hidden_size=64, n_layers=1, heads=4, vocab_size=vocab,
-        max_position_embeddings=T, image_size=S, tiny_cnn=True,
-        batch_size=B, mlm_prob=0.5, hidden_dropout_prob=0.0,
-    )
+    if flagship:
+        B, T, S, vocab = 8, 24, 64, 512
+        cfg = pretrain_config(
+            cnn_encoder="tf_efficientnetv2_m",
+            transformer_model="realformer",
+            hidden_size=64, n_layers=2, vocab_size=vocab,
+            max_position_embeddings=T, image_size=S, tiny_cnn=True,
+            batch_size=B, mlm_prob=0.5, hidden_dropout_prob=0.0,
+        )
+    else:
+        B, T, S = 8, 16, 32
+        cfg = pretrain_config(
+            hidden_size=64, n_layers=1, heads=4, vocab_size=vocab,
+            max_position_embeddings=T, image_size=S, tiny_cnn=True,
+            batch_size=B, mlm_prob=0.5, hidden_dropout_prob=0.0,
+        )
     model = MMBert(cfg)
     rng = np.random.default_rng(0)
     batch = {
@@ -215,15 +229,19 @@ def main(argv=None) -> None:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--cp", type=int, default=1)
     p.add_argument("--fsdp", action="store_true", default=False)
+    p.add_argument("--flagship", action="store_true", default=False,
+                   help="RealFormer at the dryrun shapes (round-5 "
+                        "conv-kernel FSDP fallback trigger)")
     args = p.parse_args(argv)
 
     txt, param_bytes, diag = lower_train_step(
-        args.dp, args.tp, args.cp, fsdp=args.fsdp
+        args.dp, args.tp, args.cp, fsdp=args.fsdp, flagship=args.flagship
     )
     report = audit_hlo(txt)
     print(json.dumps({
         "mesh": {"data": args.dp, "model": args.tp, "context": args.cp},
         "fsdp": args.fsdp,
+        "flagship": args.flagship,
         "param_bytes": param_bytes,
         "collectives": report,
         "spmd_fallbacks": diag.get("spmd_fallbacks", []),
